@@ -1,0 +1,39 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so sharding/collective paths are
+exercised without a pod (SURVEY.md §4 item 5). Env must be set before the
+first jax import.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
+
+
+def load_test_frames(path, count, stride=1):
+    """Host-side frame grab from the reference's media assets."""
+    import cv2
+    cap = cv2.VideoCapture(path)
+    frames = []
+    i = 0
+    while len(frames) < count:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if i % stride == 0:
+            frames.append(frame)
+        i += 1
+    cap.release()
+    return frames

@@ -1,0 +1,97 @@
+"""DCT / quantization numerics vs float64 scalar oracles."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from vcs_h264_tpu.ops import dct, quant, blocks
+from oracles import (oracle_dct2, oracle_idct2, oracle_dct_matrix,
+                     oracle_quant_tables, oracle_compress_plane,
+                     oracle_decompress_plane)
+
+
+def test_dct_matrix_matches_reference_form():
+    np.testing.assert_allclose(dct.dct_matrix_np(8), oracle_dct_matrix(8),
+                               rtol=0, atol=1e-12)
+    # orthonormality -> inverse is transpose
+    m = dct.dct_matrix_np(8)
+    np.testing.assert_allclose(m @ m.T, np.eye(8), atol=1e-12)
+
+
+def test_dct2_known_flat_block():
+    """DCT of the flat 255 block: single DC = 8*255 (dct.py dctTest, :59-66,
+    modulo their 4/(h*w) normalization; with the orthonormal matrix the DC of
+    a flat c block is c*N)."""
+    block = np.full((8, 8), 255.0)
+    got = np.asarray(dct.dct2_blocks(jnp.asarray(block, jnp.float32)))
+    want = np.zeros((8, 8)); want[0, 0] = 255 * 8
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_dct_idct_roundtrip(rng):
+    x = rng.integers(-128, 128, (50, 8, 8)).astype(np.float32)
+    y = np.asarray(dct.idct2_blocks(dct.dct2_blocks(jnp.asarray(x))))
+    np.testing.assert_allclose(y, x, atol=1e-3)
+
+
+def test_dct2_blocks_vs_oracle(rng):
+    x = rng.integers(-128, 128, (20, 8, 8)).astype(np.float64)
+    got = np.asarray(dct.dct2_blocks(jnp.asarray(x, jnp.float32)))
+    want = np.stack([oracle_dct2(b) for b in x])
+    np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_plane_roundtrip_layout(rng):
+    plane = rng.standard_normal((24, 40)).astype(np.float32)
+    b = blocks.plane_to_blocks(jnp.asarray(plane), 8)
+    assert b.shape == (3, 5, 8, 8)
+    np.testing.assert_array_equal(np.asarray(blocks.blocks_to_plane(b)), plane)
+    # block (1,2) really is plane[8:16, 16:24]
+    np.testing.assert_array_equal(np.asarray(b)[1, 2], plane[8:16, 16:24])
+
+
+def test_quant_tables_match(rng):
+    for qf in (10.0, 50.0, 75.0, 99.0):
+        qy, qc = oracle_quant_tables(qf)
+        ours = np.asarray(quant.quant_tables(qf, jnp.float32))
+        np.testing.assert_array_equal(ours[0], qy)
+        np.testing.assert_array_equal(ours[1], qc)
+        np.testing.assert_array_equal(ours[2], qc)
+
+
+def test_compress_plane_vs_oracle(rng):
+    plane = rng.integers(-128, 128, (32, 32)).astype(np.int16)
+    qy, _ = oracle_quant_tables(50.0)
+    want = oracle_compress_plane(plane, qy, 8, rounded=False)
+    got_blocks = quant.quantize(
+        dct.dct2_blocks(blocks.plane_to_blocks(
+            jnp.asarray(plane, jnp.float32), 8)),
+        jnp.asarray(qy, jnp.float32), rounded=False)
+    got = np.asarray(blocks.blocks_to_plane(got_blocks))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_rounded_roundtrip_bit_exact(rng):
+    """Production mode: int coefficients -> dequant -> idct -> round gives a
+    deterministic integer reconstruction (north-star bit-exact roundtrip)."""
+    plane = rng.integers(-128, 128, (16, 16)).astype(np.float32)
+    q = quant.quant_tables(50.0, jnp.float32)[0]
+    bb = blocks.plane_to_blocks(jnp.asarray(plane), 8)
+    coeffs = quant.quantize(dct.dct2_blocks(bb), q, rounded=True)
+    # coefficients are exactly representable ints
+    assert np.allclose(np.asarray(coeffs), np.round(np.asarray(coeffs)))
+    recon1 = np.asarray(dct.idct2_blocks(quant.dequantize(coeffs, q)))
+    recon2 = np.asarray(dct.idct2_blocks(quant.dequantize(coeffs, q)))
+    np.testing.assert_array_equal(recon1, recon2)
+
+
+def test_zigzag_8x8_standard_order():
+    z = quant.zigzag_order_np(8)
+    # canonical first 10 JPEG zigzag flat indices
+    assert list(z[:10]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert sorted(z) == list(range(64))
+
+
+def test_zigzag_roundtrip(rng):
+    x = rng.standard_normal((5, 8, 8)).astype(np.float32)
+    back = np.asarray(quant.unzigzag(quant.zigzag(jnp.asarray(x))))
+    np.testing.assert_array_equal(back, x)

@@ -1,0 +1,78 @@
+"""Codec configuration.
+
+The reference scatters its knobs across module constants
+(`InterframeCompression/main.py:13-16,27-28`, `motion.py:8-11`,
+`DCTcompressor.py:29`, `DCTCompression/dct.py:157`). Here they are a single
+frozen dataclass whose defaults mirror the reference's operating point
+(BASELINE.md "Reference operating points").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecConfig:
+    """All codec knobs. Defaults = the reference's operating point."""
+
+    # --- block / GOP structure ----------------------------------------------
+    block_size: int = 8              # ref: main.py:15
+    gop_pattern: Tuple[str, ...] = ("I", "P", "P", "P")   # ref: main.py:16
+
+    # --- motion search -------------------------------------------------------
+    # search window reach, in pixels, each direction (ref: motion.py:18
+    # `search_window_size = block_size * 2`)
+    search_reach: int = 16
+    # SAD threshold under which a block is declared static (ref: motion.py:8)
+    static_threshold: int = 2000
+    # coarse search grid step (ref: motion.py:132 `round(block_size/3)`)
+    search_step: int = 3
+
+    # --- transform / quantization -------------------------------------------
+    quality_factor: float = 50.0      # ref: DCTcompressor.py:29 (dct.py:157 uses 99)
+    with_residual: bool = True        # ref: main.py:27
+    with_dct: bool = True             # ref: main.py:28
+    # "reference": un-rounded float coefficient planes, residuals passed
+    #   through a BGR->YCrCb roundtrip, truncating uint8 casts — reproduces
+    #   the reference pipeline (DCTcompressor.py:71,89) for parity tests.
+    # "rounded": round-to-nearest int16 coefficients (dct.py:179 semantics) —
+    #   the production bitstream path (actually compressible).
+    quant_mode: str = "reference"
+
+    # --- compute -------------------------------------------------------------
+    dtype: str = "float32"            # transform math dtype on device
+
+    def __post_init__(self):
+        if self.block_size < 2:
+            raise ValueError(f"block_size must be >= 2, got {self.block_size}")
+        if not self.gop_pattern or self.gop_pattern[0] != "I":
+            raise ValueError("gop_pattern must start with 'I'")
+        if any(t not in ("I", "P") for t in self.gop_pattern):
+            raise ValueError("only I/P frames supported (ref has a B stub only,"
+                             " encoder.py:45-47)")
+        if not (1 <= self.quality_factor <= 99):
+            raise ValueError("quality_factor must be in [1, 99]")
+        if self.quant_mode not in ("reference", "rounded"):
+            raise ValueError(f"unknown quant_mode {self.quant_mode!r}")
+
+    @property
+    def gop_len(self) -> int:
+        return len(self.gop_pattern)
+
+    @property
+    def frames_per_gop_p(self) -> int:
+        return self.gop_len - 1
+
+    @classmethod
+    def reference(cls, **overrides) -> "CodecConfig":
+        """The exact reference operating point (bit-parity mode)."""
+        return cls(**overrides)
+
+    @classmethod
+    def production(cls, **overrides) -> "CodecConfig":
+        """Rounded-quant bitstream mode (real compression)."""
+        kw = dict(quant_mode="rounded")
+        kw.update(overrides)
+        return cls(**kw)
