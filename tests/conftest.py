@@ -7,11 +7,19 @@ first jax import.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU regardless of the ambient JAX_PLATFORMS (the axon TPU-tunnel
+# sitecustomize re-registers itself and sets jax_platforms="axon,cpu" at
+# import time, so the env var alone is not enough — override the config
+# after import, before any backend is initialized).
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,65 @@
+"""Host-side decoder orchestration (ref: `decoder.py:11-69`).
+
+Consumes an EncodedVideo artifact (separable from the encoder, unlike the
+reference's shared in-memory lists, main.py:48-49) and reconstructs frames on
+device, GOP-batched.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from vcs_h264_tpu.models.gop import EncodedGOP, EncodedVideo
+from vcs_h264_tpu.models import pipeline
+
+
+class Decoder:
+    def __init__(self, gop_batch: int = 8):
+        self.gop_batch = gop_batch
+
+    def decode(self, video: EncodedVideo) -> List[np.ndarray]:
+        """-> list of BGR uint8 frames, in stream order."""
+        cfg = video.config
+        dec_batch = pipeline.jit_decode_gop_batch(cfg)
+        dec_one = pipeline.jit_decode_gop(cfg)
+
+        full_p = cfg.gop_len - 1
+        frames: List[np.ndarray] = []
+        # batch together consecutive full GOPs
+        buf: List[EncodedGOP] = []
+
+        def flush():
+            if not buf:
+                return
+            import jax
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *buf)
+            out = np.asarray(dec_batch(stacked))
+            for b in range(out.shape[0]):
+                frames.extend(np.asarray(f, np.uint8) for f in out[b])
+            buf.clear()
+
+        for gop in video.gops:
+            if gop.num_p == full_p:
+                buf.append(gop)
+                if len(buf) >= self.gop_batch:
+                    flush()
+            else:
+                flush()
+                if gop.num_p == 0:
+                    frames.append(np.asarray(gop.i_frame, np.uint8))
+                else:
+                    out = np.asarray(dec_one(gop))
+                    frames.extend(np.asarray(f, np.uint8) for f in out)
+        flush()
+        return frames[: video.num_frames]
+
+    def decode_to_file(self, video: EncodedVideo, path: str) -> None:
+        from vcs_h264_tpu.io.video import VideoWriter
+        frames = self.decode(video)
+        writer = VideoWriter(path, video.width, video.height, video.fps)
+        for f in frames:
+            writer.write(f)
+        writer.close()

@@ -1,0 +1,105 @@
+"""Bitstream data model.
+
+The reference's "bitstream" is a Python list of `Frame(t, mv, r, c, i, ref_i)`
+objects held in encoder memory (`InterframeCompression/frame.py:1-8`,
+`encoder.py:33`). Here the unit is the GOP — one I-frame plus its P-frames —
+stored as a JAX pytree so it can be produced by a jitted pipeline, sharded
+across devices, and serialized to a real artifact (SURVEY.md §5
+checkpoint/resume plan). Block coordinates are implicit in the dense MV grid
+(the reference's `block_coords` list is reconstructible from indices).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+import jax
+
+from vcs_h264_tpu.config import CodecConfig
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class EncodedGOP:
+    """One encoded GOP.
+
+    i_frame:   int32/uint8 [H, W, 3]    raw reference frame (ref stores
+               I-frames raw, encoder.py:41-43)
+    mv:        int32 [P, nbh, nbw, 2]   (dx, dy) per block per P-frame
+    residuals: with_dct=False: int32/uint8 [P, H, W, 3] wrap residuals
+               with_dct=True:  float32 [P, 3, H, W] coefficient planes
+               ("reference" quant mode) or int16 ("rounded" mode)
+    """
+    i_frame: jax.Array
+    mv: jax.Array
+    residuals: Optional[jax.Array]
+
+    def tree_flatten(self):
+        return (self.i_frame, self.mv, self.residuals), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def num_p(self) -> int:
+        return self.mv.shape[0]
+
+
+@dataclasses.dataclass
+class EncodedVideo:
+    """A sequence of encoded GOPs + stream metadata. The separable artifact
+    the reference lacks (its encode/decode share in-memory lists,
+    main.py:48-49)."""
+    config: CodecConfig
+    height: int
+    width: int
+    fps: float
+    num_frames: int
+    gops: List[EncodedGOP]
+
+    # ---- persistence (npz container; native entropy-coded container lives
+    # in io/bitstream.py) ----------------------------------------------------
+
+    def save_npz(self, path: str) -> None:
+        arrays = {}
+        for g, gop in enumerate(self.gops):
+            arrays[f"gop{g}_i"] = np.asarray(gop.i_frame, dtype=np.uint8)
+            arrays[f"gop{g}_mv"] = np.asarray(gop.mv, dtype=np.int8)
+            if gop.residuals is not None:
+                res = np.asarray(gop.residuals)
+                if not self.config.with_dct:
+                    res = res.astype(np.uint8)      # wrap residuals are bytes
+                arrays[f"gop{g}_res"] = res
+        meta = dict(height=self.height, width=self.width, fps=self.fps,
+                    num_frames=self.num_frames, num_gops=len(self.gops),
+                    block_size=self.config.block_size,
+                    gop_pattern=",".join(self.config.gop_pattern),
+                    quality_factor=self.config.quality_factor,
+                    with_dct=int(self.config.with_dct),
+                    with_residual=int(self.config.with_residual),
+                    quant_mode=self.config.quant_mode)
+        np.savez_compressed(path, _meta=np.array([repr(meta)]), **arrays)
+
+    @classmethod
+    def load_npz(cls, path: str) -> "EncodedVideo":
+        data = np.load(path, allow_pickle=False)
+        meta = eval(str(data["_meta"][0]))  # noqa: S307 - our own repr dict
+        cfg = CodecConfig(
+            block_size=int(meta["block_size"]),
+            gop_pattern=tuple(meta["gop_pattern"].split(",")),
+            quality_factor=float(meta["quality_factor"]),
+            with_dct=bool(meta["with_dct"]),
+            with_residual=bool(meta["with_residual"]),
+            quant_mode=meta["quant_mode"])
+        gops = []
+        for g in range(int(meta["num_gops"])):
+            res = data.get(f"gop{g}_res")
+            gops.append(EncodedGOP(
+                i_frame=data[f"gop{g}_i"].astype(np.int32),
+                mv=data[f"gop{g}_mv"].astype(np.int32),
+                residuals=None if res is None else res))
+        return cls(cfg, int(meta["height"]), int(meta["width"]),
+                   float(meta["fps"]), int(meta["num_frames"]), gops)

@@ -1,0 +1,142 @@
+"""Jitted GOP encode / decode pipelines.
+
+This replaces the reference's per-frame Python orchestration
+(`encoder.py:21-36,49-70`; `decoder.py:23-47,52-69`) with whole-GOP tensor
+programs: all P-frames of a GOP are processed as one batch (vmap over the
+frame axis), and callers can vmap again over a batch of GOPs — the
+data-parallel axis used by `vcs_h264_tpu.parallel`.
+
+Semantics notes (all verified bit-exact against oracles in tests/):
+  * residual/add-back use mod-256 wrap, matching uint8 arithmetic
+    (motion.py:38-40, decoder.py:57).
+  * the DCT residual path in "reference" quant mode reproduces
+    `DCTcompressor.compress/decompress` including the BGR->YCrCb roundtrip of
+    the *residual image* (DCTcompressor.py:55-60,86-93), unrounded
+    quantization (:71) and the truncating `astype(uint8)+128` wrap (:89).
+  * "rounded" mode uses round-to-nearest integer coefficients (the
+    `dct.py:179` semantics) with round+clip reconstruction — the production
+    bitstream path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from vcs_h264_tpu.config import CodecConfig
+from vcs_h264_tpu.models.gop import EncodedGOP
+from vcs_h264_tpu.ops import color, motion
+from vcs_h264_tpu.ops.blocks import plane_to_blocks, blocks_to_plane
+from vcs_h264_tpu.ops.dct import dct2_blocks, idct2_blocks
+from vcs_h264_tpu.ops.quant import quant_tables
+
+
+def dct_compress_residual(resid_bgr: jnp.ndarray, cfg: CodecConfig) -> jnp.ndarray:
+    """uint8-valued BGR residual [..., H, W, 3] -> coefficient planes
+    [..., 3, H, W] (ref: DCTcompressor.compress, :49-74)."""
+    bs = cfg.block_size
+    ycc = color.bgr_to_ycrcb(resid_bgr)                      # [..., H, W, 3]
+    planes = jnp.moveaxis(ycc, -1, -3) - 128                 # [..., 3, H, W]
+    x = plane_to_blocks(planes.astype(jnp.float32), bs)      # [..., 3, nbh, nbw, bs, bs]
+    d = dct2_blocks(x)
+    q = quant_tables(cfg.quality_factor, jnp.float32)        # [3, bs, bs]
+    d = d / q[:, None, None]
+    if cfg.quant_mode == "rounded":
+        d = jnp.round(d)
+    coeffs = blocks_to_plane(d)                              # [..., 3, H, W]
+    if cfg.quant_mode == "rounded":
+        coeffs = coeffs.astype(jnp.int16)
+    return coeffs
+
+
+def dct_decompress_residual(coeffs: jnp.ndarray, cfg: CodecConfig) -> jnp.ndarray:
+    """Coefficient planes [..., 3, H, W] -> uint8-valued BGR residual
+    [..., H, W, 3] (ref: DCTcompressor.decompress, :76-93)."""
+    bs = cfg.block_size
+    q = quant_tables(cfg.quality_factor, jnp.float32)
+    x = plane_to_blocks(coeffs.astype(jnp.float32), bs)
+    v = idct2_blocks(x * q[:, None, None])
+    plane = blocks_to_plane(v)                               # [..., 3, H, W] float
+    if cfg.quant_mode == "reference":
+        # astype(np.uint8) truncates toward zero mod 256; then +128 wraps
+        # (DCTcompressor.py:89).
+        ycc = ((plane.astype(jnp.int32) & 255) + 128) & 255
+    else:
+        ycc = jnp.clip(jnp.round(plane) + 128, 0, 255).astype(jnp.int32)
+    ycc = jnp.moveaxis(ycc, -3, -1)                          # [..., H, W, 3]
+    return color.ycrcb_to_bgr(ycc)
+
+
+def _search_one(p_frame, i_frame, cfg: CodecConfig):
+    return motion.motion_search(
+        p_frame, i_frame, bs=cfg.block_size, reach=cfg.search_reach,
+        step=cfg.search_step, static_threshold=cfg.static_threshold)
+
+
+def encode_gop(i_frame: jnp.ndarray, p_frames: jnp.ndarray,
+               cfg: CodecConfig) -> EncodedGOP:
+    """Encode one GOP. i_frame int32 [H, W, 3]; p_frames int32 [P, H, W, 3].
+
+    Mirrors `Encoder._process_I_frame` (raw reference, encoder.py:41-43) +
+    `_process_P_frame` (motion -> compensate -> residual -> DCT,
+    encoder.py:49-70); every P references the GOP's I (encoder.py:51).
+    """
+    mv = jax.vmap(lambda p: _search_one(p, i_frame, cfg))(p_frames)
+    if not cfg.with_residual:
+        return EncodedGOP(i_frame=i_frame, mv=mv, residuals=None)
+    recon = jax.vmap(lambda m: motion.motion_compensate(
+        m, i_frame, cfg.block_size))(mv)
+    resid = motion.residuals_wrap(p_frames, recon)
+    if cfg.with_dct:
+        resid = dct_compress_residual(resid, cfg)
+    return EncodedGOP(i_frame=i_frame, mv=mv, residuals=resid)
+
+
+def decode_gop(gop: EncodedGOP, cfg: CodecConfig) -> jnp.ndarray:
+    """Decode one GOP -> int32 frames [1 + P, H, W, 3].
+
+    Mirrors `Decoder.reconstruct_video` I-passthrough (decoder.py:35-39) and
+    `_reconstruct_P_frame` (decoder.py:62-69)."""
+    recon = jax.vmap(lambda m: motion.motion_compensate(
+        m, gop.i_frame, cfg.block_size))(gop.mv)
+    if cfg.with_residual and gop.residuals is not None:
+        resid = gop.residuals
+        if cfg.with_dct:
+            resid = dct_decompress_residual(resid, cfg)
+        out_p = motion.reconstruct_wrap(recon, resid)
+    else:
+        out_p = recon
+    return jnp.concatenate([gop.i_frame[None], out_p], axis=0)
+
+
+# Batched-over-GOPs variants: the TPU-efficient entry points. Leading axis is
+# the GOP batch (the data-parallel shard axis in parallel/).
+def encode_gop_batch(i_frames, p_frames, cfg: CodecConfig) -> EncodedGOP:
+    """i_frames [B, H, W, 3]; p_frames [B, P, H, W, 3]."""
+    return jax.vmap(lambda i, p: encode_gop(i, p, cfg))(i_frames, p_frames)
+
+
+def decode_gop_batch(gop: EncodedGOP, cfg: CodecConfig) -> jnp.ndarray:
+    return jax.vmap(lambda g: decode_gop(g, cfg))(gop)
+
+
+@functools.lru_cache(maxsize=None)
+def jit_encode_gop(cfg: CodecConfig):
+    return jax.jit(functools.partial(encode_gop, cfg=cfg))
+
+
+@functools.lru_cache(maxsize=None)
+def jit_decode_gop(cfg: CodecConfig):
+    return jax.jit(functools.partial(decode_gop, cfg=cfg))
+
+
+@functools.lru_cache(maxsize=None)
+def jit_encode_gop_batch(cfg: CodecConfig):
+    return jax.jit(functools.partial(encode_gop_batch, cfg=cfg))
+
+
+@functools.lru_cache(maxsize=None)
+def jit_decode_gop_batch(cfg: CodecConfig):
+    return jax.jit(functools.partial(decode_gop_batch, cfg=cfg))

@@ -8,24 +8,26 @@ minimizing the *wrapping* uint8 SAD `sum(|ref_block - block|)` with
 first-minimum-wins tie-breaking (`motion.py:149-152`) and a `[0, 0]` fallback
 coordinate when no candidate is valid (`motion.py:102,122`).
 
-This module reproduces those semantics bit-exactly but as batched tensor ops
-with **zero gathers** in the search. Key observation: the candidate position is
+This module reproduces those semantics bit-exactly as batched tensor ops with
+no data-dependent gathers in the search. Key observation: the candidate
+position is
 
     p(b, k) = max(c_b - reach, 0) + step * k,      k = 0..K-1
 
-so for blocks at least `reach` away from the top/left edge the candidate grid
-is a *uniform displacement* of the block coordinate, and the SAD for one
-displacement over all blocks is a shifted whole-frame absolute difference
-followed by an 8x8 box reduction — pure VPU work that XLA fuses. Blocks in the
-first ceil(reach/bs) block rows/cols have an *absolute* candidate grid
-(p = step*k) which is uniform across those blocks, giving three more small
-"edge strip" families. Candidate validity (`i+bs >= i_max` skip, motion.py:136)
-depends only on the block coordinate, so it is a host-precomputed constant
-mask.
+so for blocks at least `reach` from the top/left edge the candidate grid is a
+*uniform displacement* of the block coordinate: the SAD of one displacement
+over all blocks is a shifted whole-frame absolute difference followed by an
+8x8 box reduction — pure VPU work that XLA fuses. Blocks in the first
+ceil(reach/bs) block rows/cols have an *absolute* grid (p = step*k), uniform
+across those strips, handled by three small edge families whose patch indices
+are host-side constants. Candidate validity (`i+bs >= i_max`, motion.py:136)
+depends only on block coordinates and is a precomputed constant mask.
 
 Selection = first-occurrence argmin over [sentinel] + masked candidates, which
 reproduces the reference's strict-< update and its 9999999999 initial best
 (`motion.py:122`).
+
+All public entry points are jit-compiled (geometry args are static).
 """
 
 from __future__ import annotations
@@ -49,7 +51,8 @@ class MotionSearchPlan(NamedTuple):
     bs: int
     reach: int
     step: int
-    n_edge: int          # block rows/cols whose window clamps at 0
+    n_edge_i: int        # block rows whose window clamps at 0
+    n_edge_j: int
     k: int               # candidates per axis
     nbh: int
     nbw: int
@@ -81,15 +84,15 @@ def make_plan(h: int, w: int, bs: int, reach: int, step: int) -> MotionSearchPla
 
     pos_i, valid_i = axis_plan(nbh, h)
     pos_j, valid_j = axis_plan(nbw, w)
-    return MotionSearchPlan(bs, reach, step, n_edge, k, nbh, nbw, h, w,
-                            valid_i, valid_j, pos_i, pos_j)
+    return MotionSearchPlan(bs, reach, step, min(n_edge, nbh), min(n_edge, nbw),
+                            k, nbh, nbw, h, w, valid_i, valid_j, pos_i, pos_j)
 
 
-def _block_sums(diff: jnp.ndarray, bs: int) -> jnp.ndarray:
-    """[R, W, C] wrap-diff -> per-(bs x bs)-block SAD [R//bs, W//bs] int32."""
-    r, w, c = diff.shape
-    x = diff.reshape(r // bs, bs, w // bs, bs, c)
-    return x.sum(axis=(1, 3, 4), dtype=jnp.int32)
+def _tile_sums(diff: jnp.ndarray, bs: int) -> jnp.ndarray:
+    """[..., R, W, C] -> per-(bs x bs)-tile sums [..., R//bs, W//bs] int32."""
+    *lead, r, w, c = diff.shape
+    x = diff.reshape(*lead, r // bs, bs, w // bs, bs, c)
+    return x.sum(axis=(-4, -2, -1), dtype=jnp.int32)
 
 
 def _wrap_abs_diff(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -105,96 +108,89 @@ def sad_candidates(cur: jnp.ndarray, ref: jnp.ndarray,
     `cur`, `ref`: int32 [H, W, C] with uint8-range values.
     """
     bs, reach, step, k = plan.bs, plan.reach, plan.step, plan.k
-    h, w, ne = plan.h, plan.w, plan.n_edge
+    h, w = plan.h, plan.w
+    ne_i, ne_j = plan.n_edge_i, plan.n_edge_j
     nbh, nbw = plan.nbh, plan.nbw
+    c = cur.shape[-1]
 
-    # Pad so relative-displacement slices are always in-bounds. Values in the
-    # pad are never selected (masked candidates).
+    # Pad so every shifted slice is in-bounds; padded values only reach
+    # masked candidates.
     pad = reach + bs
     refp = jnp.pad(ref, ((pad, pad), (pad, pad), (0, 0)))
+    wp = w + 2 * pad
 
-    # ---- family 1: relative/relative (valid meaning for bi,bj >= n_edge) ----
-    rel = []
-    for ki in range(k):
-        di = step * ki - reach
-        for kj in range(k):
-            dj = step * kj - reach
-            shifted = jax.lax.slice(
-                refp, (pad + di, pad + dj, 0), (pad + di + h, pad + dj + w, 3))
-            rel.append(_block_sums(_wrap_abs_diff(shifted, cur), bs))
-    s_rel = jnp.stack(rel).reshape(k, k, nbh, nbw).transpose(2, 3, 0, 1)
+    # ---- row-shifted stacks -------------------------------------------------
+    # relative rows: [K, H, Wp, C], entry ki = ref shifted by di = step*ki-reach
+    row_rel = jnp.stack([
+        jax.lax.slice(refp, (pad + step * ki - reach, 0, 0),
+                      (pad + step * ki - reach + h, wp, c))
+        for ki in range(k)])
+    # absolute rows (top strips): [ne_i, K, bs, Wp, C] via constant gather
+    if ne_i:
+        ri = np.minimum(plan.pos_i[:ne_i], h - bs)      # clamp invalid, masked
+        row_idx = pad + ri[:, :, None] + np.arange(bs)[None, None, :]
+        row_abs = refp[jnp.asarray(row_idx)]            # fancy gather on rows
+        cur_top = cur[: ne_i * bs].reshape(ne_i, bs, w, c)
 
-    ne_i = min(ne, nbh)
-    ne_j = min(ne, nbw)
+    # ---- loop over column candidates ---------------------------------------
+    rel_rel = []     # per kj: [K, nbh, nbw]
+    abs_rel = []     # per kj: [ne_i, K, nbw]
+    for kj in range(k):
+        dj = step * kj - reach
+        shifted = jax.lax.slice(row_rel, (0, 0, pad + dj, 0),
+                                (k, h, pad + dj + w, c))
+        rel_rel.append(_tile_sums(_wrap_abs_diff(shifted, cur[None]), bs))
+        if ne_i:
+            s = jax.lax.slice(row_abs, (0, 0, 0, pad + dj, 0),
+                              (ne_i, k, bs, pad + dj + w, c))
+            d = _wrap_abs_diff(s, cur_top[:, None])     # [ne_i, K, bs, W, C]
+            abs_rel.append(_tile_sums(d, bs)[..., 0, :])
+    s_rel = jnp.stack(rel_rel, axis=1).transpose(2, 3, 0, 1)   # [nbh,nbw,K,K]
+    if ne_i:
+        s_abs_i = jnp.stack(abs_rel, axis=2)                   # [ne_i,K,K,nbw]
+        s_abs_i = s_abs_i.transpose(0, 3, 1, 2)                # [ne_i,nbw,K,K]
 
-    # ---- family 2: absolute rows (top edge strips), relative cols ----------
-    abs_rows = []
-    for bi in range(ne_i):
-        per_bi = []
-        cur_rows = jax.lax.slice(cur, (bi * bs, 0, 0), (bi * bs + bs, w, 3))
+    # ---- absolute columns (left strips): [nbh, ne_j, K, K] -----------------
+    if ne_j:
+        cj_pos = np.minimum(plan.pos_j[:ne_j], w - bs)
+        col_idx = pad + cj_pos[:, :, None] + np.arange(bs)[None, None, :]
+        col_abs = refp[:, jnp.asarray(col_idx)]        # [Hp, ne_j, K, bs, C]
+        col_abs = col_abs.transpose(1, 2, 0, 3, 4)     # [ne_j, K, Hp, bs, C]
+        cur_left = cur[:, : ne_j * bs].reshape(h, ne_j, bs, c)
+        cur_left = cur_left.transpose(1, 0, 2, 3)      # [ne_j, H, bs, C]
+        rel_abs = []
         for ki in range(k):
-            pi = int(plan.pos_i[bi, ki])
-            pi_c = min(pi, h - bs)          # masked when invalid; keep in-bounds
-            ref_rows = jax.lax.slice(refp, (pad + pi_c, 0, 0),
-                                     (pad + pi_c + bs, 2 * pad + w, 3))
-            for kj in range(k):
-                dj = step * kj - reach
-                shifted = jax.lax.slice(ref_rows, (0, pad + dj, 0),
-                                        (bs, pad + dj + w, 3))
-                per_bi.append(_block_sums(_wrap_abs_diff(shifted, cur_rows), bs))
-        abs_rows.append(jnp.stack(per_bi).reshape(k, k, 1, nbw).transpose(2, 3, 0, 1))
-    s_abs_i = (jnp.concatenate(abs_rows, axis=0) if abs_rows
-               else jnp.zeros((0, nbw, k, k), jnp.int32))
+            di = step * ki - reach
+            s = jax.lax.slice(col_abs, (0, 0, pad + di, 0, 0),
+                              (ne_j, k, pad + di + h, bs, c))
+            d = _wrap_abs_diff(s, cur_left[:, None])   # [ne_j, K, H, bs, C]
+            rel_abs.append(_tile_sums(d, bs)[..., 0])
+        s_abs_j = jnp.stack(rel_abs, axis=2)           # [ne_j, K(kj), K(ki), nbh]
+        s_abs_j = s_abs_j.transpose(3, 0, 2, 1)        # [nbh, ne_j, K(ki), K(kj)]
 
-    # ---- family 3: relative rows, absolute cols (left edge strips) ---------
-    abs_cols = []
-    for bj in range(ne_j):
-        per_bj = []
-        cur_cols = jax.lax.slice(cur, (0, bj * bs, 0), (h, bj * bs + bs, 3))
-        for kj in range(k):
-            pj = int(plan.pos_j[bj, kj])
-            pj_c = min(pj, w - bs)
-            ref_cols = jax.lax.slice(refp, (0, pad + pj_c, 0),
-                                     (2 * pad + h, pad + pj_c + bs, 3))
-            for ki in range(k):
-                di = step * ki - reach
-                shifted = jax.lax.slice(ref_cols, (pad + di, 0, 0),
-                                        (pad + di + h, bs, 3))
-                per_bj.append(_block_sums(_wrap_abs_diff(shifted, cur_cols), bs))
-        # stacked as [kj, ki] -> transpose to [ki, kj]
-        s = jnp.stack(per_bj).reshape(k, k, nbh, 1).transpose(2, 3, 1, 0)
-        abs_cols.append(s)
-    s_abs_j = (jnp.concatenate(abs_cols, axis=1) if abs_cols
-               else jnp.zeros((nbh, 0, k, k), jnp.int32))
-
-    # ---- family 4: absolute/absolute (top-left corner blocks) --------------
+    # ---- corner blocks: one constant gather --------------------------------
     if ne_i and ne_j:
-        corner = []
-        for bi in range(ne_i):
-            for bj in range(ne_j):
-                blk = jax.lax.slice(cur, (bi * bs, bj * bs, 0),
-                                    (bi * bs + bs, bj * bs + bs, 3))
-                per = []
-                for ki in range(k):
-                    pi = min(int(plan.pos_i[bi, ki]), h - bs)
-                    for kj in range(k):
-                        pj = min(int(plan.pos_j[bj, kj]), w - bs)
-                        rb = jax.lax.slice(ref, (pi, pj, 0),
-                                           (pi + bs, pj + bs, 3))
-                        per.append(_wrap_abs_diff(rb, blk)
-                                   .sum(dtype=jnp.int32))
-                corner.append(jnp.stack(per).reshape(k, k))
-        s_corner = jnp.stack(corner).reshape(ne_i, ne_j, k, k)
-    else:
-        s_corner = jnp.zeros((ne_i, ne_j, k, k), jnp.int32)
+        ri = np.minimum(plan.pos_i[:ne_i], h - bs)     # [ne_i, K]
+        cjp = np.minimum(plan.pos_j[:ne_j], w - bs)    # [ne_j, K]
+        ii = ri[:, None, :, None, None, None] + np.arange(bs)[None, None, None, None, :, None]
+        jj = cjp[None, :, None, :, None, None] + np.arange(bs)[None, None, None, None, None, :]
+        ii = np.broadcast_to(ii, (ne_i, ne_j, k, k, bs, bs))
+        jj = np.broadcast_to(jj, (ne_i, ne_j, k, k, bs, bs))
+        patches = ref[jnp.asarray(ii), jnp.asarray(jj)]  # [ne_i,ne_j,K,K,bs,bs,C]
+        cur_c = cur[: ne_i * bs, : ne_j * bs].reshape(ne_i, bs, ne_j, bs, c)
+        cur_c = cur_c.transpose(0, 2, 1, 3, 4)[:, :, None, None]
+        s_corner = _wrap_abs_diff(patches, cur_c).sum(
+            axis=(-3, -2, -1), dtype=jnp.int32)          # [ne_i, ne_j, K, K]
 
     # ---- stitch families by block position ---------------------------------
-    #   [ corner  | abs-rows ]      rows < ne_i
-    #   [ abs-cols| relative ]      rows >= ne_i
-    top = (jnp.concatenate([s_corner, s_abs_i[:, ne_j:]], axis=1)
-           if ne_j else s_abs_i)                       # [ne_i, nbw, K, K]
+    #   [ corner   | abs-rows ]      rows < ne_i
+    #   [ abs-cols | relative ]      rows >= ne_i
+    top = None
+    if ne_i:
+        top = (jnp.concatenate([s_corner, s_abs_i[:, ne_j:]], axis=1)
+               if ne_j else s_abs_i)
     bottom = (jnp.concatenate([s_abs_j[ne_i:], s_rel[ne_i:, ne_j:]], axis=1)
-              if ne_j else s_rel[ne_i:])               # [nbh-ne_i, nbw, K, K]
+              if ne_j else s_rel[ne_i:])
     return jnp.concatenate([top, bottom], axis=0) if ne_i else bottom
 
 
@@ -202,9 +198,11 @@ def static_sad(cur: jnp.ndarray, ref: jnp.ndarray, bs: int) -> jnp.ndarray:
     """Saturating co-located SAD (ref: motion.py:109-111 uses cv2.subtract,
     which clamps at 0): [nbh, nbw] int32."""
     diff = jnp.maximum(ref - cur, 0)
-    return _block_sums(diff, bs)
+    return _tile_sums(diff, bs)
 
 
+@functools.partial(jax.jit, static_argnames=("bs", "reach", "step",
+                                             "static_threshold"))
 def motion_search(cur: jnp.ndarray, ref: jnp.ndarray, *, bs: int = 8,
                   reach: int = 16, step: int = 3,
                   static_threshold: int = 2000) -> jnp.ndarray:
@@ -247,6 +245,7 @@ def motion_search(cur: jnp.ndarray, ref: jnp.ndarray, *, bs: int = 8,
     return jnp.stack([pj - cj, pi - ci], axis=-1).astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("bs",))
 def motion_compensate(mv: jnp.ndarray, ref: jnp.ndarray, bs: int) -> jnp.ndarray:
     """Rebuild a frame purely from motion vectors + reference
     (ref: motion.py:42-69). `mv` [nbh, nbw, 2] (dx, dy); `ref` [H, W, C]."""
