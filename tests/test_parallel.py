@@ -1,0 +1,92 @@
+"""Sharded pipeline == unsharded pipeline, on a virtual CPU mesh.
+
+Exercises the ppermute halo exchange and per-tile search families across
+tile boundaries (SURVEY.md §7 'Halo exchange correctness')."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vcs_h264_tpu.config import CodecConfig
+from vcs_h264_tpu.models import pipeline
+from vcs_h264_tpu.parallel import mesh as pmesh
+from vcs_h264_tpu.parallel import spatial
+
+
+def _gop_batch(rng, b=2, p=3, h=128, w=64):
+    i_frames = rng.integers(0, 256, (b, h, w, 3), dtype=np.uint8)
+    p_frames = np.stack([
+        np.stack([np.roll(i_frames[g], (t + 1, -2 * t), axis=(0, 1))
+                  for t in range(p)])
+        for g in range(b)])
+    # sprinkle noise so not everything is static
+    noise = rng.integers(0, 256, p_frames.shape, dtype=np.uint8)
+    mask = rng.random(p_frames.shape[:-1])[..., None] < 0.02
+    p_frames = np.where(mask, noise, p_frames)
+    return (jnp.asarray(i_frames, jnp.int32), jnp.asarray(p_frames, jnp.int32))
+
+
+def _mesh_or_skip(gop, tile):
+    if len(jax.devices()) < gop * tile:
+        pytest.skip("not enough devices")
+    return pmesh.make_mesh(gop=gop, tile=tile)
+
+
+@pytest.mark.parametrize("tile", [2, 4])
+@pytest.mark.parametrize("with_dct", [False, True])
+def test_sharded_encode_matches_unsharded(rng, tile, with_dct):
+    cfg = CodecConfig(with_dct=with_dct)
+    mesh = _mesh_or_skip(2, tile)
+    i_b, p_b = _gop_batch(rng)
+    want = pipeline.jit_encode_gop_batch(cfg)(i_b, p_b)
+    got = spatial.sharded_encode_gop_batch(i_b, p_b, cfg, mesh)
+    np.testing.assert_array_equal(np.asarray(got.mv), np.asarray(want.mv))
+    if with_dct:
+        np.testing.assert_allclose(np.asarray(got.residuals),
+                                   np.asarray(want.residuals), atol=2e-2)
+    else:
+        np.testing.assert_array_equal(np.asarray(got.residuals),
+                                      np.asarray(want.residuals))
+
+
+@pytest.mark.parametrize("with_dct", [False, True])
+def test_sharded_decode_matches_unsharded(rng, with_dct):
+    cfg = CodecConfig(with_dct=with_dct)
+    mesh = _mesh_or_skip(2, 4)
+    i_b, p_b = _gop_batch(rng)
+    enc = pipeline.jit_encode_gop_batch(cfg)(i_b, p_b)
+    want = pipeline.jit_decode_gop_batch(cfg)(enc)
+    got = spatial.sharded_decode_gop_batch(enc, cfg, mesh)
+    if with_dct:
+        # float trunc boundaries may flip by 1 mod 256 between codepaths
+        d = np.abs(np.asarray(got, np.int64) - np.asarray(want, np.int64))
+        d = np.minimum(d, 256 - d)
+        assert d.max() <= 1 and (d > 0).mean() < 0.02
+    else:
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sharded_roundtrip_no_dct_bit_exact(rng):
+    """encode+decode fully sharded == input reconstruction from unsharded."""
+    cfg = CodecConfig(with_dct=False)
+    mesh = _mesh_or_skip(2, 4)
+    i_b, p_b = _gop_batch(rng)
+    enc = spatial.sharded_encode_gop_batch(i_b, p_b, cfg, mesh)
+    dec = spatial.sharded_decode_gop_batch(enc, cfg, mesh)
+    # wrap-residual coding is lossless: decoded P == original P
+    np.testing.assert_array_equal(np.asarray(dec)[:, 1:], np.asarray(p_b))
+    np.testing.assert_array_equal(np.asarray(dec)[:, 0], np.asarray(i_b))
+
+
+def test_gop_data_parallel_sharding(rng):
+    """Plain NamedSharding DP over the gop axis compiles and matches."""
+    cfg = CodecConfig(with_dct=False)
+    mesh = _mesh_or_skip(8, 1)
+    i_b, p_b = _gop_batch(rng, b=8, h=64, w=64)
+    sh = pmesh.gop_sharding(mesh)
+    i_s = jax.device_put(i_b, sh)
+    p_s = jax.device_put(p_b, sh)
+    want = pipeline.jit_encode_gop_batch(cfg)(i_b, p_b)
+    got = pipeline.jit_encode_gop_batch(cfg)(i_s, p_s)
+    np.testing.assert_array_equal(np.asarray(got.mv), np.asarray(want.mv))

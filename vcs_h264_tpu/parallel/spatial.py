@@ -1,0 +1,323 @@
+"""Spatially-sharded GOP pipeline: row tiles + ppermute halo exchange.
+
+Each frame's rows are sharded over the mesh "tile" axis; the GOP batch axis is
+sharded over "gop". Motion search inside a tile needs reference-frame rows up
+to `reach + bs` beyond the tile edges (the +/-16 px window of motion.py:18,
+plus the block extent), so each tile exchanges `halo = reach + bs` boundary
+rows of the I-frame with its neighbors via `jax.lax.ppermute` over ICI before
+searching — the CP/ring-analog communication pattern of this domain
+(SURVEY.md §2.3, §5 "long-context" plan).
+
+The tile-local search mirrors ops/motion.py's family decomposition in strip
+coordinates: global row g of tile t lives at strip row g - t*th + halo, so the
+"relative displacement" family is the same uniform shift, and the global-top
+"absolute grid" family lands at static strip rows on tile 0 (selected by
+`axis_index == 0`; other tiles compute and discard it — two block rows of
+wasted work). Candidate validity and global candidate rows are data (sharded
+[nbh, K] arrays from the host plan), because the bottom clamp i_max = min(c +
+reach, H) (motion.py:127) crosses tile boundaries.
+
+Bit-exactness vs the unsharded path is asserted in tests/test_parallel.py.
+Constraint: tile height must be a multiple of bs and >= reach.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vcs_h264_tpu.config import CodecConfig
+from vcs_h264_tpu.models.gop import EncodedGOP
+from vcs_h264_tpu.models.pipeline import (dct_compress_residual,
+                                          dct_decompress_residual)
+from vcs_h264_tpu.ops import motion as M
+from vcs_h264_tpu.ops.motion import (_INIT_SENTINEL, _MASKED, _tile_sums,
+                                     _wrap_abs_diff, make_plan)
+
+
+def _halo_exchange(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
+    """[..., th, W, C] -> [..., th + 2*halo, W, C] with neighbor rows.
+
+    Missing neighbors (frame edges) contribute zeros — those rows are only
+    reachable by masked candidates."""
+    n = lax.axis_size(axis_name)
+    down = [(i, i + 1) for i in range(n - 1)]       # my bottom rows -> next tile
+    up = [(i, i - 1) for i in range(1, n)]          # my top rows -> prev tile
+    top_halo = lax.ppermute(x[..., -halo:, :, :], axis_name, down)
+    bot_halo = lax.ppermute(x[..., :halo, :, :], axis_name, up)
+    return jnp.concatenate([top_halo, x, bot_halo], axis=-3)
+
+
+def _tile_search(cur_t, strip, valid_i_t, pos_i_t, tile_idx, plan, th):
+    """Search one tile. cur_t [th, W, C] int32; strip [th+2h, W, C];
+    valid_i_t/pos_i_t [nbh_t, K]; returns mv [nbh_t, nbw, 2]."""
+    bs, reach, step, k = plan.bs, plan.reach, plan.step, plan.k
+    w = plan.w
+    ne_i, ne_j = plan.n_edge_i, plan.n_edge_j
+    nbw = plan.nbw
+    nbh_t = th // bs
+    c = cur_t.shape[-1]
+    halo = reach + bs
+    pad_j = reach + bs
+    stripp = jnp.pad(strip, ((0, 0), (pad_j, pad_j), (0, 0)))
+    wp = w + 2 * pad_j
+    strip_h = strip.shape[0]
+
+    # ---- relative-rows stack [K, th, Wp, C] --------------------------------
+    row_rel = jnp.stack([
+        lax.slice(stripp, (halo - reach + step * ki, 0, 0),
+                  (halo - reach + step * ki + th, wp, c))
+        for ki in range(k)])
+    # ---- absolute-rows stack (global top grid; tile-0 strip rows) ----------
+    row_abs = jnp.stack([
+        lax.slice(stripp, (min(halo + step * ki, strip_h - bs), 0, 0),
+                  (min(halo + step * ki, strip_h - bs) + bs, wp, c))
+        for ki in range(k)])                                  # [K, bs, Wp, C]
+    cur_top = cur_t[: ne_i * bs].reshape(ne_i, bs, w, c)
+
+    rel_list, abs_list = [], []
+    for kj in range(k):
+        dj = step * kj - reach
+        shifted = lax.slice(row_rel, (0, 0, pad_j + dj, 0), (k, th, pad_j + dj + w, c))
+        rel_list.append(_tile_sums(_wrap_abs_diff(shifted, cur_t[None]), bs))
+        s = lax.slice(row_abs, (0, 0, pad_j + dj, 0), (k, bs, pad_j + dj + w, c))
+        d = _wrap_abs_diff(s[None], cur_top[:, None])         # [ne_i,K,bs,W,C]
+        abs_list.append(_tile_sums(d, bs)[..., 0, :])         # [ne_i,K,nbw]
+    s_rel = jnp.stack(rel_list, 1).transpose(2, 3, 0, 1)      # [nbh_t,nbw,K,K]
+    s_abs_i = jnp.stack(abs_list, 2).transpose(0, 3, 1, 2)    # [ne_i,nbw,K,K]
+
+    # ---- absolute-cols family (global left edge, present on every tile) ----
+    cjp = np.minimum(plan.pos_j[:ne_j], w - bs)               # [ne_j, K]
+    col_idx = pad_j + cjp[:, :, None] + np.arange(bs)[None, None, :]
+    col_abs = stripp[:, jnp.asarray(col_idx)]                 # [SH, ne_j, K, bs, C]
+    col_abs = col_abs.transpose(1, 2, 0, 3, 4)                # [ne_j, K, SH, bs, C]
+    cur_left = cur_t[:, : ne_j * bs].reshape(th, ne_j, bs, c).transpose(1, 0, 2, 3)
+    rel_abs = []
+    for ki in range(k):
+        s = lax.slice(col_abs, (0, 0, halo - reach + step * ki, 0, 0),
+                      (ne_j, k, halo - reach + step * ki + th, bs, c))
+        d = _wrap_abs_diff(s, cur_left[:, None])              # [ne_j,K,th,bs,C]
+        rel_abs.append(_tile_sums(d, bs)[..., 0])             # [ne_j,K(kj),nbh_t]
+    s_abs_j = jnp.stack(rel_abs, 2).transpose(3, 0, 2, 1)     # [nbh_t,ne_j,K,K]
+
+    # ---- corner family (global top-left; tile 0 strip rows) ----------------
+    # indices [ne_j, K(ki), K(kj), bs, bs]
+    ri = np.minimum(halo + step * np.arange(k), strip_h - bs)  # [K]
+    ii = np.broadcast_to(ri[None, :, None, None, None]
+                         + np.arange(bs)[None, None, None, :, None],
+                         (ne_j, k, k, bs, bs))
+    jj = np.broadcast_to(cjp[:, None, :, None, None]
+                         + np.arange(bs)[None, None, None, None, :],
+                         (ne_j, k, k, bs, bs))
+    patches = strip[jnp.asarray(ii), jnp.asarray(jj)]     # [ne_j,K,K,bs,bs,C]
+    cur_c = cur_t[: ne_i * bs, : ne_j * bs].reshape(ne_i, bs, ne_j, bs, c)
+    cur_c = cur_c.transpose(0, 2, 1, 3, 4)                # [ne_i,ne_j,bs,bs,C]
+    s_corner = _wrap_abs_diff(patches[None, :, :, :],
+                              cur_c[:, :, None, None]).sum(
+        axis=(-3, -2, -1), dtype=jnp.int32)               # [ne_i,ne_j,K,K]
+
+    # ---- stitch ------------------------------------------------------------
+    is_top_tile = tile_idx == 0
+    top_tile0 = jnp.concatenate([s_corner, s_abs_i[:, ne_j:]], axis=1)
+    top_other = jnp.concatenate([s_abs_j[:ne_i], s_rel[:ne_i, ne_j:]], axis=1)
+    top = jnp.where(is_top_tile, top_tile0, top_other)
+    rest = jnp.concatenate([s_abs_j[ne_i:], s_rel[ne_i:, ne_j:]], axis=1)
+    sad = jnp.concatenate([top, rest], axis=0)            # [nbh_t,nbw,K,K]
+
+    # ---- select ------------------------------------------------------------
+    valid = valid_i_t[:, None, :, None] & jnp.asarray(plan.valid_j)[None, :, None, :]
+    masked = jnp.where(valid, sad, _MASKED)
+    flat = masked.reshape(nbh_t, nbw, k * k)
+    with_init = jnp.concatenate(
+        [jnp.full((nbh_t, nbw, 1), _INIT_SENTINEL, jnp.int32), flat], axis=-1)
+    best = jnp.argmin(with_init, axis=-1)
+    hit = best > 0
+    ki_sel = (best - 1) // k
+    kj_sel = (best - 1) % k
+
+    bj = jnp.arange(nbw)[None, :]
+    pi = jnp.where(hit, jnp.take_along_axis(
+        jnp.broadcast_to(pos_i_t[:, None, :], (nbh_t, nbw, k)),
+        ki_sel[..., None], axis=2)[..., 0], 0)
+    pos_j = jnp.asarray(plan.pos_j)
+    pj = jnp.where(hit, pos_j[bj, kj_sel], 0)
+    return pi, pj, hit
+
+
+def _finish_mv(pi, pj, cur_t, strip, tile_idx, plan, th, static_threshold):
+    bs = plan.bs
+    halo = plan.reach + bs
+    nbh_t = th // bs
+    nbw = plan.nbw
+    ref_t = strip[halo:halo + th]
+    stat = M.static_sad(cur_t, ref_t, bs) <= static_threshold
+    ci = tile_idx * th + jnp.arange(nbh_t)[:, None] * bs
+    cj = jnp.arange(nbw)[None, :] * bs
+    pi = jnp.where(stat, ci, pi)
+    pj = jnp.where(stat, cj, pj)
+    return jnp.stack([pj - cj, pi - ci], axis=-1).astype(jnp.int32)
+
+
+def tile_motion_search(cur_t, strip, valid_i_t, pos_i_t, tile_idx, cfg: CodecConfig,
+                       h: int, w: int, th: int):
+    plan = make_plan(h, w, cfg.block_size, cfg.search_reach, cfg.search_step)
+    pi, pj, _ = _tile_search(cur_t, strip, valid_i_t, pos_i_t, tile_idx, plan, th)
+    return _finish_mv(pi, pj, cur_t, strip, tile_idx, plan, th,
+                      cfg.static_threshold)
+
+
+def tile_motion_compensate(mv_t, strip, tile_idx, bs: int, th: int, halo: int):
+    """mv_t [nbh_t, nbw, 2]; strip [th+2h, W, C] -> recon tile [th, W, C]."""
+    sh, w, c = strip.shape
+    nbh_t, nbw = mv_t.shape[:2]
+    # global row pi = tile_idx*th + bi*bs + dy  -> strip row pi - tile_idx*th + halo
+    li = jnp.arange(nbh_t)[:, None] * bs + mv_t[..., 1] + halo
+    # fallback mv may point at global row 0 (motion.py:102): clamp; unreachable
+    # when th >= reach (see module docstring)
+    li = jnp.clip(li, 0, sh - bs)
+    lj = jnp.clip(jnp.arange(nbw)[None, :] * bs + mv_t[..., 0], 0, w - bs)
+
+    def grab(i0, j0):
+        return lax.dynamic_slice(strip, (i0, j0, 0), (bs, bs, c))
+
+    blocks = jax.vmap(jax.vmap(grab))(li, lj)
+    return blocks.transpose(0, 2, 1, 3, 4).reshape(th, w, c)
+
+
+# ---------------------------------------------------------------------------
+# Sharded batch pipelines
+
+
+def _specs(cfg: CodecConfig, with_residuals: bool):
+    i_spec = P("gop", "tile", None, None)
+    p_spec = P("gop", None, "tile", None, None)
+    mv_spec = P("gop", None, "tile", None, None)
+    if not with_residuals:
+        res_spec = None
+    elif cfg.with_dct:
+        res_spec = P("gop", None, None, "tile", None)   # [B,P,3,H,W]
+    else:
+        res_spec = P("gop", None, "tile", None, None)   # [B,P,H,W,3]
+    return i_spec, p_spec, mv_spec, res_spec
+
+
+@functools.lru_cache(maxsize=None)
+def make_sharded_encoder(mesh: Mesh, cfg: CodecConfig, h: int, w: int):
+    """Returns jitted fn(i_frames [B,H,W,3] i32, p_frames [B,P,H,W,3] i32)
+    -> (i_frames, mv, residuals) sharded over (gop, tile)."""
+    n_tile = mesh.shape["tile"]
+    th = h // n_tile
+    bs = cfg.block_size
+    if th % bs or (n_tile > 1 and th < cfg.search_reach):
+        raise ValueError(f"tile height {th} must be a multiple of {bs} and "
+                         f">= reach {cfg.search_reach}")
+    halo = cfg.search_reach + bs
+    plan = make_plan(h, w, bs, cfg.search_reach, cfg.search_step)
+    valid_i = jnp.asarray(plan.valid_i)            # [nbh, K]
+    pos_i = jnp.asarray(plan.pos_i)
+
+    i_spec, p_spec, mv_spec, res_spec = _specs(cfg, cfg.with_residual)
+    plan_spec = P("tile", None)
+
+    def local_fn(i_t, p_t, valid_i_t, pos_i_t):
+        # i_t [Bl, th, W, 3]; p_t [Bl, Pf, th, W, 3]
+        tile_idx = lax.axis_index("tile")
+        strip = _halo_exchange(i_t, halo, "tile")  # [Bl, th+2h, W, 3]
+
+        def search_gop(i_strip, p_frames):
+            return jax.vmap(lambda p: tile_motion_search(
+                p, i_strip, valid_i_t, pos_i_t, tile_idx, cfg, h, w, th)
+            )(p_frames)
+
+        if not cfg.with_residual:
+            return i_t, jax.vmap(search_gop)(strip, p_t)
+
+        def per_gop(i_strip, p_frames):
+            mv = search_gop(i_strip, p_frames)
+            recon = jax.vmap(lambda m: tile_motion_compensate(
+                m, i_strip, tile_idx, bs, th, halo))(mv)
+            resid = M.residuals_wrap(p_frames, recon)
+            if cfg.with_dct:
+                resid = dct_compress_residual(resid, cfg)
+            return mv, resid
+
+        mv, resid = jax.vmap(per_gop)(strip, p_t)
+        return i_t, mv, resid
+
+    out_specs = (i_spec, mv_spec) if not cfg.with_residual \
+        else (i_spec, mv_spec, res_spec)
+    fn = jax.shard_map(local_fn, mesh=mesh,
+                       in_specs=(i_spec, p_spec, plan_spec, plan_spec),
+                       out_specs=out_specs, check_vma=False)
+
+    @jax.jit
+    def run(i_frames, p_frames):
+        out = fn(i_frames, p_frames, valid_i, pos_i)
+        if cfg.with_residual:
+            return EncodedGOP(i_frame=out[0], mv=out[1], residuals=out[2])
+        return EncodedGOP(i_frame=out[0], mv=out[1], residuals=None)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def make_sharded_decoder(mesh: Mesh, cfg: CodecConfig, h: int, w: int):
+    """Returns jitted fn(EncodedGOP batch) -> frames [B, 1+P, H, W, 3] i32."""
+    n_tile = mesh.shape["tile"]
+    th = h // n_tile
+    bs = cfg.block_size
+    halo = cfg.search_reach + bs
+    i_spec, _, mv_spec, res_spec = _specs(cfg, cfg.with_residual)
+    frames_spec = P("gop", None, "tile", None, None)
+
+    def local_fn(i_t, mv_t, resid_t):
+        tile_idx = lax.axis_index("tile")
+        strip = _halo_exchange(i_t, halo, "tile")
+
+        def per_gop(i_strip, i_tile, mv, resid):
+            recon = jax.vmap(lambda m: tile_motion_compensate(
+                m, i_strip, tile_idx, bs, th, halo))(mv)
+            if cfg.with_residual and resid is not None:
+                if cfg.with_dct:
+                    resid = dct_decompress_residual(resid, cfg)
+                out_p = M.reconstruct_wrap(recon, resid)
+            else:
+                out_p = recon
+            return jnp.concatenate([i_tile[None], out_p], axis=0)
+
+        return jax.vmap(per_gop)(strip, i_t, mv_t, resid_t)
+
+    if cfg.with_residual:
+        fn = jax.shard_map(local_fn, mesh=mesh,
+                           in_specs=(i_spec, mv_spec, res_spec),
+                           out_specs=frames_spec, check_vma=False)
+
+        @jax.jit
+        def run(gop: EncodedGOP):
+            return fn(gop.i_frame, gop.mv, gop.residuals)
+    else:
+        fn = jax.shard_map(lambda i, m: local_fn(i, m, None), mesh=mesh,
+                           in_specs=(i_spec, mv_spec),
+                           out_specs=frames_spec, check_vma=False)
+
+        @jax.jit
+        def run(gop: EncodedGOP):
+            return fn(gop.i_frame, gop.mv)
+
+    return run
+
+
+def sharded_encode_gop_batch(i_frames, p_frames, cfg: CodecConfig, mesh: Mesh):
+    h, w = i_frames.shape[-3:-1]
+    return make_sharded_encoder(mesh, cfg, h, w)(i_frames, p_frames)
+
+
+def sharded_decode_gop_batch(gop: EncodedGOP, cfg: CodecConfig, mesh: Mesh):
+    h, w = gop.i_frame.shape[-3:-1]
+    return make_sharded_decoder(mesh, cfg, h, w)(gop)
