@@ -18,7 +18,8 @@ wasted work). Candidate validity and global candidate rows are data (sharded
 reach, H) (motion.py:127) crosses tile boundaries.
 
 Bit-exactness vs the unsharded path is asserted in tests/test_parallel.py.
-Constraint: tile height must be a multiple of bs and >= reach.
+Constraint: tile height must be a multiple of bs and >= halo = reach + bs
+(each halo comes from a single neighbor).
 """
 
 from __future__ import annotations
@@ -214,10 +215,10 @@ def make_sharded_encoder(mesh: Mesh, cfg: CodecConfig, h: int, w: int):
     n_tile = mesh.shape["tile"]
     th = h // n_tile
     bs = cfg.block_size
-    if th % bs or (n_tile > 1 and th < cfg.search_reach):
-        raise ValueError(f"tile height {th} must be a multiple of {bs} and "
-                         f">= reach {cfg.search_reach}")
     halo = cfg.search_reach + bs
+    if th % bs or (n_tile > 1 and th < halo):
+        raise ValueError(f"tile height {th} must be a multiple of {bs} and "
+                         f">= halo {halo} (reach + block)")
     plan = make_plan(h, w, bs, cfg.search_reach, cfg.search_step)
     valid_i = jnp.asarray(plan.valid_i)            # [nbh, K]
     pos_i = jnp.asarray(plan.pos_i)
