@@ -8,6 +8,11 @@ from vcs_h264_tpu.ops import motion
 from oracles import (oracle_motion_search, oracle_motion_compensate)
 
 
+def _pl(x):
+    """HWC host frame -> planar CHW device layout."""
+    return jnp.asarray(np.moveaxis(x, -1, 0), jnp.int32)
+
+
 def _random_pair(rng, h, w, shift=(3, -5), noise=30):
     """A ref frame and a shifted+noised current frame."""
     ref = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
@@ -22,8 +27,7 @@ def _random_pair(rng, h, w, shift=(3, -5), noise=30):
 def test_motion_search_exact_vs_oracle(rng, h, w):
     cur, ref = _random_pair(rng, h, w)
     want = oracle_motion_search(cur, ref)
-    got = np.asarray(motion.motion_search(
-        jnp.asarray(cur, jnp.int32), jnp.asarray(ref, jnp.int32)))
+    got = np.asarray(motion.motion_search(_pl(cur), _pl(ref)))
     np.testing.assert_array_equal(got, want)
 
 
@@ -34,15 +38,13 @@ def test_motion_search_smooth_frames(rng):
     ref = np.stack([base, base // 2, 255 - base], axis=-1)
     cur = np.roll(ref, (6, 0), axis=(0, 1))
     want = oracle_motion_search(cur, ref)
-    got = np.asarray(motion.motion_search(
-        jnp.asarray(cur, jnp.int32), jnp.asarray(ref, jnp.int32)))
+    got = np.asarray(motion.motion_search(_pl(cur), _pl(ref)))
     np.testing.assert_array_equal(got, want)
 
 
 def test_motion_search_identical_frames(rng):
     ref = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
-    got = np.asarray(motion.motion_search(
-        jnp.asarray(ref, jnp.int32), jnp.asarray(ref, jnp.int32)))
+    got = np.asarray(motion.motion_search(_pl(ref), _pl(ref)))
     np.testing.assert_array_equal(got, 0)       # all static
 
 
@@ -55,8 +57,7 @@ def test_motion_search_on_real_frames():
     cur = frames[1][100:180, 200:320]
     ref = frames[0][100:180, 200:320]
     want = oracle_motion_search(cur, ref)
-    got = np.asarray(motion.motion_search(
-        jnp.asarray(cur, jnp.int32), jnp.asarray(ref, jnp.int32)))
+    got = np.asarray(motion.motion_search(_pl(cur), _pl(ref)))
     np.testing.assert_array_equal(got, want)
 
 
@@ -64,8 +65,8 @@ def test_motion_compensate_vs_oracle(rng):
     cur, ref = _random_pair(rng, 48, 64)
     mv = oracle_motion_search(cur, ref)
     want = oracle_motion_compensate(mv, ref, 8)
-    got = np.asarray(motion.motion_compensate(
-        jnp.asarray(mv), jnp.asarray(ref, jnp.int32), 8)).astype(np.uint8)
+    got = np.moveaxis(np.asarray(motion.motion_compensate(
+        jnp.asarray(mv), _pl(ref), 8)), 0, -1).astype(np.uint8)
     np.testing.assert_array_equal(got, want)
 
 

@@ -24,7 +24,9 @@ def _gop_batch(rng, b=2, p=3, h=128, w=64):
     noise = rng.integers(0, 256, p_frames.shape, dtype=np.uint8)
     mask = rng.random(p_frames.shape[:-1])[..., None] < 0.02
     p_frames = np.where(mask, noise, p_frames)
-    return (jnp.asarray(i_frames, jnp.int32), jnp.asarray(p_frames, jnp.int32))
+    # planar [B, 3, H, W] / [B, P, 3, H, W]
+    return (jnp.asarray(i_frames.transpose(0, 3, 1, 2), jnp.int32),
+            jnp.asarray(p_frames.transpose(0, 1, 4, 2, 3), jnp.int32))
 
 
 def _mesh_or_skip(gop, tile):

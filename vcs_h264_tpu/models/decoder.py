@@ -36,9 +36,10 @@ class Decoder:
                 return
             import jax
             stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *buf)
-            out = np.asarray(dec_batch(stacked))
+            out = np.asarray(dec_batch(stacked))         # [B, F, 3, H, W]
             for b in range(out.shape[0]):
-                frames.extend(np.asarray(f, np.uint8) for f in out[b])
+                frames.extend(f.transpose(1, 2, 0).astype(np.uint8)
+                              for f in out[b])
             buf.clear()
 
         for gop in video.gops:
@@ -49,10 +50,12 @@ class Decoder:
             else:
                 flush()
                 if gop.num_p == 0:
-                    frames.append(np.asarray(gop.i_frame, np.uint8))
+                    frames.append(np.asarray(gop.i_frame)
+                                  .transpose(1, 2, 0).astype(np.uint8))
                 else:
                     out = np.asarray(dec_one(gop))
-                    frames.extend(np.asarray(f, np.uint8) for f in out)
+                    frames.extend(f.transpose(1, 2, 0).astype(np.uint8)
+                                  for f in out)
         flush()
         return frames[: video.num_frames]
 

@@ -46,8 +46,12 @@ class Encoder:
         enc_batch = pipeline.jit_encode_gop_batch(cfg)
         for start in range(0, len(full), self.gop_batch):
             chunk = full[start:start + self.gop_batch]
-            i_b = jnp.asarray(np.stack([i for i, _ in chunk]), jnp.int32)
-            p_b = jnp.asarray(np.stack([p for _, p in chunk]), jnp.int32)
+            i_b = jnp.asarray(
+                np.stack([i for i, _ in chunk]).transpose(0, 3, 1, 2),
+                jnp.int32)
+            p_b = jnp.asarray(
+                np.stack([p for _, p in chunk]).transpose(0, 1, 4, 2, 3),
+                jnp.int32)
             out = enc_batch(i_b, p_b)
             for bi in range(len(chunk)):
                 encoded.append(EncodedGOP(
@@ -56,15 +60,16 @@ class Encoder:
                     else out.residuals[bi]))
         enc_one = pipeline.jit_encode_gop(cfg)
         for i_f, p_f in tail:
+            i_pl = jnp.asarray(i_f.transpose(2, 0, 1), jnp.int32)
             if p_f.shape[0] == 0:
                 encoded.append(EncodedGOP(
-                    i_frame=jnp.asarray(i_f, jnp.int32),
+                    i_frame=i_pl,
                     mv=jnp.zeros((0, h // cfg.block_size,
                                   w // cfg.block_size, 2), jnp.int32),
                     residuals=None))
             else:
-                encoded.append(enc_one(jnp.asarray(i_f, jnp.int32),
-                                       jnp.asarray(p_f, jnp.int32)))
+                encoded.append(enc_one(
+                    i_pl, jnp.asarray(p_f.transpose(0, 3, 1, 2), jnp.int32)))
 
         # Re-interleave into stream order (full GOPs were appended first,
         # then tails).

@@ -34,11 +34,11 @@ from vcs_h264_tpu.ops.quant import quant_tables
 
 
 def dct_compress_residual(resid_bgr: jnp.ndarray, cfg: CodecConfig) -> jnp.ndarray:
-    """uint8-valued BGR residual [..., H, W, 3] -> coefficient planes
+    """uint8-valued planar BGR residual [..., 3, H, W] -> coefficient planes
     [..., 3, H, W] (ref: DCTcompressor.compress, :49-74)."""
     bs = cfg.block_size
-    ycc = color.bgr_to_ycrcb(resid_bgr)                      # [..., H, W, 3]
-    planes = jnp.moveaxis(ycc, -1, -3) - 128                 # [..., 3, H, W]
+    ycc = color.bgr_to_ycrcb_planes(resid_bgr)               # [..., 3, H, W]
+    planes = ycc - 128
     x = plane_to_blocks(planes.astype(jnp.float32), bs)      # [..., 3, nbh, nbw, bs, bs]
     d = dct2_blocks(x)
     q = quant_tables(cfg.quality_factor, jnp.float32)        # [3, bs, bs]
@@ -52,8 +52,8 @@ def dct_compress_residual(resid_bgr: jnp.ndarray, cfg: CodecConfig) -> jnp.ndarr
 
 
 def dct_decompress_residual(coeffs: jnp.ndarray, cfg: CodecConfig) -> jnp.ndarray:
-    """Coefficient planes [..., 3, H, W] -> uint8-valued BGR residual
-    [..., H, W, 3] (ref: DCTcompressor.decompress, :76-93)."""
+    """Coefficient planes [..., 3, H, W] -> uint8-valued planar BGR residual
+    [..., 3, H, W] (ref: DCTcompressor.decompress, :76-93)."""
     bs = cfg.block_size
     q = quant_tables(cfg.quality_factor, jnp.float32)
     x = plane_to_blocks(coeffs.astype(jnp.float32), bs)
@@ -65,8 +65,7 @@ def dct_decompress_residual(coeffs: jnp.ndarray, cfg: CodecConfig) -> jnp.ndarra
         ycc = ((plane.astype(jnp.int32) & 255) + 128) & 255
     else:
         ycc = jnp.clip(jnp.round(plane) + 128, 0, 255).astype(jnp.int32)
-    ycc = jnp.moveaxis(ycc, -3, -1)                          # [..., H, W, 3]
-    return color.ycrcb_to_bgr(ycc)
+    return color.ycrcb_to_bgr_planes(ycc)
 
 
 def _search_one(p_frame, i_frame, cfg: CodecConfig):
@@ -77,7 +76,7 @@ def _search_one(p_frame, i_frame, cfg: CodecConfig):
 
 def encode_gop(i_frame: jnp.ndarray, p_frames: jnp.ndarray,
                cfg: CodecConfig) -> EncodedGOP:
-    """Encode one GOP. i_frame int32 [H, W, 3]; p_frames int32 [P, H, W, 3].
+    """Encode one GOP. i_frame int32 planar [3, H, W]; p_frames [P, 3, H, W].
 
     Mirrors `Encoder._process_I_frame` (raw reference, encoder.py:41-43) +
     `_process_P_frame` (motion -> compensate -> residual -> DCT,
@@ -95,7 +94,7 @@ def encode_gop(i_frame: jnp.ndarray, p_frames: jnp.ndarray,
 
 
 def decode_gop(gop: EncodedGOP, cfg: CodecConfig) -> jnp.ndarray:
-    """Decode one GOP -> int32 frames [1 + P, H, W, 3].
+    """Decode one GOP -> int32 planar frames [1 + P, 3, H, W].
 
     Mirrors `Decoder.reconstruct_video` I-passthrough (decoder.py:35-39) and
     `_reconstruct_P_frame` (decoder.py:62-69)."""
@@ -114,7 +113,7 @@ def decode_gop(gop: EncodedGOP, cfg: CodecConfig) -> jnp.ndarray:
 # Batched-over-GOPs variants: the TPU-efficient entry points. Leading axis is
 # the GOP batch (the data-parallel shard axis in parallel/).
 def encode_gop_batch(i_frames, p_frames, cfg: CodecConfig) -> EncodedGOP:
-    """i_frames [B, H, W, 3]; p_frames [B, P, H, W, 3]."""
+    """i_frames [B, 3, H, W]; p_frames [B, P, 3, H, W] (planar)."""
     return jax.vmap(lambda i, p: encode_gop(i, p, cfg))(i_frames, p_frames)
 
 

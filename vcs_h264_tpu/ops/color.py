@@ -60,6 +60,33 @@ def ycrcb_to_bgr(ycrcb: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(out, 0, 255)
 
 
+def bgr_to_ycrcb_planes(x: jnp.ndarray) -> jnp.ndarray:
+    """Planar [..., 3, H, W] BGR -> planar [..., 3, H, W] YCrCb (int32).
+
+    Same fixed-point math as bgr_to_ycrcb, in the TPU-native planar layout
+    (channel as a leading axis; W on lanes)."""
+    x = x.astype(jnp.int32)
+    b = x[..., 0, :, :]
+    g = x[..., 1, :, :]
+    r = x[..., 2, :, :]
+    y = _descale(r * _R2Y + g * _G2Y + b * _B2Y)
+    cr = _descale((r - y) * _CR_COEF + (128 << _SHIFT))
+    cb = _descale((b - y) * _CB_COEF + (128 << _SHIFT))
+    return jnp.clip(jnp.stack([y, cr, cb], axis=-3), 0, 255)
+
+
+def ycrcb_to_bgr_planes(x: jnp.ndarray) -> jnp.ndarray:
+    """Planar [..., 3, H, W] YCrCb -> planar [..., 3, H, W] BGR (int32)."""
+    x = x.astype(jnp.int32)
+    y = x[..., 0, :, :]
+    cr = x[..., 1, :, :]
+    cb = x[..., 2, :, :]
+    b = y + _descale((cb - 128) * _CB2B)
+    g = y + _descale((cb - 128) * _CB2G + (cr - 128) * _CR2G)
+    r = y + _descale((cr - 128) * _CR2R)
+    return jnp.clip(jnp.stack([b, g, r], axis=-3), 0, 255)
+
+
 def ycrcb_to_rgb_float(y: jnp.ndarray, cr: jnp.ndarray, cb: jnp.ndarray):
     """Float YCrCb -> clamped RGB, the hand-rolled constants of the chroma
     study (`ChromaSubsampling/chroma.py:33-40`): 1.4022 / 0.34414 / 0.71414 /

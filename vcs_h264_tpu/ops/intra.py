@@ -1,0 +1,309 @@
+"""Intra-frame prediction: H.264-style mode search, TPU-vectorized.
+
+Reimplements the reference's intra study (`IntraframeCompression/intraframe.py`
++ `intramodes.py`) as batched tensor ops. The reference raster-scans blocks in
+Python, but its neighbor pixels come from the *original* plane (not the
+reconstruction, `intraframe.py:57-77`) and availability depends only on block
+position (`intraframe.py:39-54`), so the whole mode search is embarrassingly
+parallel: every block evaluates all candidate modes at once and an argmin
+picks the reference's first-minimum winner (strict <, `intraframe.py:85-144`).
+
+Semantics reproduced exactly (verified against scalar oracles in
+tests/test_intra.py):
+  * availability masks positional:  u: bi>=1;  l: bj>=1;  ul: bi>=1 & bj>=1;
+    ur: bi>=1 & bj<last (the reference's row-aliased `available` list,
+    `intraframe.py:30`, happens to reduce to exactly these — every queried
+    entry is True in raster order);
+  * unavailable neighbors read as float 128s and the ur fallback replicates
+    the top row's last pixel (`intraframe.py:68-72`) — both are *floats* in
+    the reference, so they do NOT wrap;
+  * available neighbors are uint8, so `u + l` in dc4x4 (`intramodes.py:21`)
+    and `3*ur[3]` / `3*l[3]` (`intramodes.py:41,135`) wrap mod 256 — we apply
+    the wrap exactly when the operands came from the plane;
+  * best-mode selection starts from bestdiff = 16*255 (resp. N*N*255,
+    2*8*8*255) with a zero prediction and mode 0 (`intraframe.py:79-81`), so
+    a block whose every mode ties/exceeds that bound keeps the zero pred.
+
+Known divergence (documented, deliberate): chroma8x8's vertical-mode Cb "up"
+neighbor reads `Cbres` (the residual!) in the reference (`intraframe.py:266`)
+— a typo we do not reproduce; we read `Cb`. tests/test_intra.py pins our
+behavior against a bug-fixed oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_SHIFT_SENTINEL = None
+
+
+def _avail_masks(nbh: int, nbw: int):
+    bi = jnp.arange(nbh)[:, None]
+    bj = jnp.arange(nbw)[None, :]
+    a_u = jnp.broadcast_to(bi >= 1, (nbh, nbw))
+    a_l = jnp.broadcast_to(bj >= 1, (nbh, nbw))
+    a_ul = a_u & a_l
+    a_ur = a_u & jnp.broadcast_to(bj < nbw - 1, (nbh, nbw))
+    return a_u, a_l, a_ul, a_ur
+
+
+def _neighbors(y: jnp.ndarray, bs: int):
+    """Extract per-block neighbor vectors from plane [H, W] (int32).
+
+    Returns (u [nbh,nbw,bs], l [nbh,nbw,bs], ul [nbh,nbw], ur [nbh,nbw,bs],
+    masks) with the reference's 128 fills / ur fallback applied. u/l/ur/ul are
+    int32; the masks say which came from the plane (and therefore wrap)."""
+    h, w = y.shape
+    nbh, nbw = h // bs, w // bs
+    a_u, a_l, a_ul, a_ur = _avail_masks(nbh, nbw)
+
+    rows_above = jnp.maximum(jnp.arange(nbh) * bs - 1, 0)     # [nbh]
+    cols_left = jnp.maximum(jnp.arange(nbw) * bs - 1, 0)      # [nbw]
+
+    top = y[rows_above]                                       # [nbh, W]
+    u_raw = top.reshape(nbh, nbw, bs)
+    # ur: next block's top row; pad right so last col reads garbage (masked)
+    top_pad = jnp.pad(top, ((0, 0), (0, bs)))
+    ur_raw = top_pad[:, bs:].reshape(nbh, nbw, bs)
+
+    left = y[:, cols_left]                                    # [H, nbw]
+    l_raw = left.reshape(nbh, bs, nbw).transpose(0, 2, 1)     # [nbh, nbw, bs]
+    ul_raw = top[:, cols_left]                                # [nbh, nbw]
+
+    fill = jnp.int32(128)
+    u = jnp.where(a_u[..., None], u_raw, fill)
+    l = jnp.where(a_l[..., None], l_raw, fill)
+    ul = jnp.where(a_ul, ul_raw, fill)
+    # ur fallback: replicate u[-1] when u available (float -> no wrap), else 128
+    ur_fb = jnp.where(a_u[..., None], u_raw[..., -1:], fill)
+    ur = jnp.where(a_ur[..., None], ur_raw, ur_fb)
+    return u, l, ul, ur, (a_u, a_l, a_ul, a_ur)
+
+
+def _w3(x, wrap):
+    """3*x with uint8 wrap where `wrap` (the reference's uint8 overflow in
+    `3*ur[3]//4`, intramodes.py:41)."""
+    t = 3 * x
+    return jnp.where(wrap, t & 255, t)
+
+
+# --- 4x4 predictors. Each returns [nbh, nbw, 4, 4] int32. -------------------
+# u, l: [nbh,nbw,4]; ul: [nbh,nbw]; masks say plane-origin (wrapping) inputs.
+
+
+def _assemble(rows):
+    """rows: list of 4 lists of 4 [nbh,nbw] entries -> [nbh,nbw,4,4]."""
+    return jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
+
+
+def pred_vertical(u):
+    return jnp.broadcast_to(u[..., None, :], (*u.shape[:-1], u.shape[-1],
+                                              u.shape[-1]))
+
+
+def pred_horizontal(l):
+    n = l.shape[-1]
+    return jnp.broadcast_to(l[..., :, None], (*l.shape[:-1], n, n))
+
+
+def pred_dc4(u, l, u_wraps_with_l):
+    s = jnp.where(u_wraps_with_l[..., None], (u + l) & 255, u + l)
+    avg = jnp.sum(s, axis=-1) // 8
+    return jnp.broadcast_to(avg[..., None, None], (*avg.shape, 4, 4))
+
+
+def pred_downleft(u, ur, ur_wrap):
+    e = jnp.concatenate([u, ur], axis=-1)                 # [., ., 8]
+    t = [e[..., s] // 4 + e[..., s + 1] // 2 + e[..., s + 2] // 4
+         for s in range(6)]
+    t.append(e[..., 6] // 4 + _w3(e[..., 7], ur_wrap) // 4)
+    return _assemble([[t[r + c] for c in range(4)] for r in range(4)])
+
+
+def pred_downright(ul, u, l):
+    d = {}
+    d[3] = u[..., 1] // 4 + u[..., 2] // 2 + u[..., 3] // 4
+    d[2] = u[..., 0] // 4 + u[..., 1] // 2 + u[..., 2] // 4
+    d[1] = ul // 4 + u[..., 0] // 2 + u[..., 1] // 4
+    d[0] = ul // 4 + u[..., 0] // 2 + l[..., 0] // 4
+    d[-1] = u[..., 0] // 4 + l[..., 0] // 2 + l[..., 1] // 4
+    d[-2] = l[..., 0] // 4 + l[..., 1] // 2 + l[..., 2] // 4
+    d[-3] = l[..., 1] // 4 + l[..., 2] // 2 + l[..., 3] // 4
+    return _assemble([[d[c - r] for c in range(4)] for r in range(4)])
+
+
+def pred_verticalright(ul, u, l):
+    a0 = ul // 2 + u[..., 0] // 2
+    a1 = u[..., 0] // 2 + u[..., 1] // 2
+    a2 = u[..., 1] // 2 + u[..., 2] // 2
+    a3 = u[..., 2] // 2 + u[..., 3] // 2
+    b0 = u[..., 0] // 4 + ul // 2 + l[..., 0] // 4
+    b1 = ul // 4 + u[..., 0] // 2 + u[..., 1] // 4
+    b2 = u[..., 0] // 4 + u[..., 1] // 2 + u[..., 2] // 4
+    b3 = u[..., 1] // 4 + u[..., 2] // 2 + u[..., 3] // 4
+    c0 = ul // 4 + l[..., 0] // 2 + l[..., 1] // 4
+    d0 = l[..., 0] // 4 + l[..., 1] // 2 + l[..., 2] // 4
+    return _assemble([[a0, a1, a2, a3],
+                      [b0, b1, b2, b3],
+                      [c0, a0, a1, a2],
+                      [d0, b0, b1, b2]])
+
+
+def pred_horizontaldown(ul, u, l):
+    a0 = ul // 2 + l[..., 0] // 2
+    a1 = u[..., 0] // 4 + ul // 2 + l[..., 0] // 4
+    a2 = ul // 4 + u[..., 0] // 2 + u[..., 1] // 4
+    a3 = u[..., 0] // 4 + u[..., 1] // 2 + u[..., 2] // 4
+    b0 = l[..., 0] // 2 + l[..., 1] // 2
+    b1 = ul // 4 + l[..., 1] // 2 + l[..., 2] // 4
+    c0 = l[..., 1] // 2 + l[..., 2] // 2
+    c1 = l[..., 0] // 4 + l[..., 1] // 2 + l[..., 2] // 4
+    d0 = l[..., 2] // 2 + l[..., 3] // 2
+    d1 = l[..., 1] // 4 + l[..., 2] // 2 + l[..., 3] // 4
+    return _assemble([[a0, a1, a2, a3],
+                      [b0, b1, a0, a1],
+                      [c0, c1, b0, b1],
+                      [d0, d1, c0, c1]])
+
+
+def pred_verticalleft(u, ur):
+    a0 = u[..., 0] // 2 + u[..., 1] // 2
+    a1 = u[..., 1] // 2 + u[..., 2] // 2
+    a2 = u[..., 2] // 2 + u[..., 3] // 2
+    a3 = u[..., 3] // 2 + ur[..., 0] // 2
+    a4 = ur[..., 0] // 2 + ur[..., 1] // 2
+    b0 = u[..., 0] // 4 + u[..., 1] // 2 + u[..., 2] // 4
+    b1 = u[..., 1] // 4 + u[..., 2] // 2 + u[..., 3] // 4
+    b2 = u[..., 2] // 4 + u[..., 3] // 2 + ur[..., 0] // 4
+    b3 = u[..., 3] // 4 + ur[..., 0] // 2 + ur[..., 1] // 4
+    b4 = ur[..., 0] // 4 + ur[..., 1] // 2 + ur[..., 2] // 4
+    return _assemble([[a0, a1, a2, a3],
+                      [b0, b1, b2, b3],
+                      [a1, a2, a3, a4],
+                      [b1, b2, b3, b4]])
+
+
+def pred_horizontalup(l, l_wrap):
+    a0 = l[..., 0] // 2 + l[..., 1] // 2
+    a1 = l[..., 0] // 4 + l[..., 1] // 2 + l[..., 2] // 4
+    a2 = l[..., 1] // 2 + l[..., 2] // 2
+    a3 = l[..., 1] // 4 + l[..., 2] // 2 + l[..., 3] // 4
+    b2 = l[..., 2] // 2 + l[..., 3] // 2
+    b3 = l[..., 2] // 4 + _w3(l[..., 3], l_wrap) // 4
+    c = l[..., 3]
+    return _assemble([[a0, a1, a2, a3],
+                      [a2, a3, b2, b3],
+                      [b2, b3, c, c],
+                      [c, c, c, c]])
+
+
+def _select_best(block, preds, init_diff):
+    """preds [M, nbh, nbw, n, n]; block [nbh, nbw, n, n].
+
+    Returns (pred, modes, diffs): the reference's strict-< scan from a zero
+    prediction at bestdiff=init_diff, first mode wins ties."""
+    diffs = jnp.sum(jnp.abs(preds - block[None]), axis=(-2, -1))   # [M,nbh,nbw]
+    m = diffs.shape[0]
+    nbh, nbw = diffs.shape[1:]
+    with_init = jnp.concatenate(
+        [jnp.full((1, nbh, nbw), init_diff, diffs.dtype), diffs], axis=0)
+    best = jnp.argmin(with_init, axis=0)                   # first-occurrence
+    hit = best > 0
+    mode = jnp.where(hit, best - 1, 0)
+    stacked = jnp.concatenate(
+        [jnp.zeros_like(preds[:1]), preds], axis=0)        # sentinel = zeros
+    pred = jnp.take_along_axis(
+        stacked, best[None, ..., None, None], axis=0)[0]
+    return pred, mode.astype(jnp.int32), diffs
+
+
+@functools.partial(jax.jit)
+def luma4x4(y: jnp.ndarray):
+    """Mode search over the 9 4x4 luma modes (ref: intraframe.py:24-151).
+
+    y: int32 [H, W] (uint8 values), H, W multiples of 4.
+    Returns (residual [H,W] int32, prediction [H,W] int32, modes [nbh,nbw])."""
+    h, w = y.shape
+    bs = 4
+    nbh, nbw = h // bs, w // bs
+    u, l, ul, ur, (a_u, a_l, a_ul, a_ur) = _neighbors(y, bs)
+    block = y.reshape(nbh, bs, nbw, bs).transpose(0, 2, 1, 3)
+
+    preds = jnp.stack([
+        pred_vertical(u),                         # mode 0
+        pred_horizontal(l),                       # mode 1
+        pred_dc4(u, l, a_u & a_l),                # mode 2
+        pred_downleft(u, ur, a_ur),               # mode 3
+        pred_downright(ul, u, l),                 # mode 4
+        pred_verticalright(ul, u, l),             # mode 5
+        pred_horizontaldown(ul, u, l),            # mode 6
+        pred_verticalleft(u, ur),                 # mode 7
+        pred_horizontalup(l, a_l),                # mode 8
+    ])
+    pred, modes, _ = _select_best(block, preds, 16 * 255)
+    res = block - pred
+    to_plane = lambda b: b.transpose(0, 2, 1, 3).reshape(h, w)
+    return to_plane(res), to_plane(pred), modes
+
+
+def _vhdc_preds(plane, bs):
+    h, w = plane.shape
+    nbh, nbw = h // bs, w // bs
+    a_u, a_l, _, _ = _avail_masks(nbh, nbw)
+    rows_above = jnp.maximum(jnp.arange(nbh) * bs - 1, 0)
+    cols_left = jnp.maximum(jnp.arange(nbw) * bs - 1, 0)
+    u_raw = plane[rows_above].reshape(nbh, nbw, bs)
+    l_raw = plane[:, cols_left].reshape(nbh, bs, nbw).transpose(0, 2, 1)
+    fill = jnp.int32(128)
+    u = jnp.where(a_u[..., None], u_raw, fill)
+    l = jnp.where(a_l[..., None], l_raw, fill)
+    dc = ((jnp.sum(u, axis=-1) + jnp.sum(l, axis=-1)) // (2 * bs))
+    preds = jnp.stack([
+        pred_vertical(u),
+        pred_horizontal(l),
+        jnp.broadcast_to(dc[..., None, None], (nbh, nbw, bs, bs)),
+    ])
+    block = plane.reshape(nbh, bs, nbw, bs).transpose(0, 2, 1, 3)
+    return preds, block
+
+
+@functools.partial(jax.jit)
+def luma16x16(y: jnp.ndarray):
+    """V/H/DC over 16x16 blocks (ref: intraframe.py:153-225)."""
+    h, w = y.shape
+    preds, block = _vhdc_preds(y, 16)
+    pred, modes, _ = _select_best(block, preds, 16 * 16 * 255)
+    res = block - pred
+    to_plane = lambda b: b.transpose(0, 2, 1, 3).reshape(h, w)
+    return to_plane(res), to_plane(pred), modes
+
+
+@functools.partial(jax.jit)
+def chroma8x8(cr: jnp.ndarray, cb: jnp.ndarray):
+    """Joint Cr/Cb V/H/DC over 8x8 blocks, one shared mode chosen by summed
+    SAD (ref: intraframe.py:228-317; the `Cbres` typo at :266 is fixed —
+    see module docstring)."""
+    h, w = cr.shape
+    preds_r, block_r = _vhdc_preds(cr, 8)
+    preds_b, block_b = _vhdc_preds(cb, 8)
+    diffs = (jnp.sum(jnp.abs(preds_r - block_r[None]), axis=(-2, -1))
+             + jnp.sum(jnp.abs(preds_b - block_b[None]), axis=(-2, -1)))
+    nbh, nbw = diffs.shape[1:]
+    with_init = jnp.concatenate(
+        [jnp.full((1, nbh, nbw), 2 * 8 * 8 * 255, diffs.dtype), diffs], axis=0)
+    best = jnp.argmin(with_init, axis=0)
+    modes = jnp.where(best > 0, best - 1, 0).astype(jnp.int32)
+
+    def pick(preds):
+        stacked = jnp.concatenate([jnp.zeros_like(preds[:1]), preds], axis=0)
+        return jnp.take_along_axis(
+            stacked, best[None, ..., None, None], axis=0)[0]
+
+    pred_r = pick(preds_r)
+    pred_b = pick(preds_b)
+    to_plane = lambda b: b.transpose(0, 2, 1, 3).reshape(h, w)
+    return (to_plane(block_r - pred_r), to_plane(pred_r),
+            to_plane(block_b - pred_b), to_plane(pred_b), modes)

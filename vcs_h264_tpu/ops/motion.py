@@ -27,6 +27,11 @@ Selection = first-occurrence argmin over [sentinel] + masked candidates, which
 reproduces the reference's strict-< update and its 9999999999 initial best
 (`motion.py:122`).
 
+Layout: frames are **planar** [C, H, W] — W is the minor (lane) dimension.
+Interleaved [H, W, 3] would put the size-3 channel axis on TPU lanes and
+waste 125/128 of every vector register and HBM tile; planar keeps every
+shifted-difference pass dense (SURVEY.md §7 design principles).
+
 All public entry points are jit-compiled (geometry args are static).
 """
 
@@ -89,10 +94,10 @@ def make_plan(h: int, w: int, bs: int, reach: int, step: int) -> MotionSearchPla
 
 
 def _tile_sums(diff: jnp.ndarray, bs: int) -> jnp.ndarray:
-    """[..., R, W, C] -> per-(bs x bs)-tile sums [..., R//bs, W//bs] int32."""
-    *lead, r, w, c = diff.shape
-    x = diff.reshape(*lead, r // bs, bs, w // bs, bs, c)
-    return x.sum(axis=(-4, -2, -1), dtype=jnp.int32)
+    """[..., C, R, W] -> per-(bs x bs)-tile sums [..., R//bs, W//bs] int32."""
+    *lead, c, r, w = diff.shape
+    x = diff.reshape(*lead, c, r // bs, bs, w // bs, bs)
+    return x.sum(axis=(-5, -3, -1), dtype=jnp.int32)
 
 
 def _wrap_abs_diff(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -105,45 +110,47 @@ def sad_candidates(cur: jnp.ndarray, ref: jnp.ndarray,
                    plan: MotionSearchPlan) -> jnp.ndarray:
     """Exact SAD of every (block, candidate): [nbh, nbw, K, K] int32.
 
-    `cur`, `ref`: int32 [H, W, C] with uint8-range values.
+    `cur`, `ref`: int32 planar [C, H, W] with uint8-range values.
     """
     bs, reach, step, k = plan.bs, plan.reach, plan.step, plan.k
     h, w = plan.h, plan.w
     ne_i, ne_j = plan.n_edge_i, plan.n_edge_j
     nbh, nbw = plan.nbh, plan.nbw
-    c = cur.shape[-1]
+    c = cur.shape[0]
 
-    # Pad so every shifted slice is in-bounds; padded values only reach
+    # Pad H/W so every shifted slice is in-bounds; padded values only reach
     # masked candidates.
     pad = reach + bs
-    refp = jnp.pad(ref, ((pad, pad), (pad, pad), (0, 0)))
+    refp = jnp.pad(ref, ((0, 0), (pad, pad), (pad, pad)))
     wp = w + 2 * pad
 
     # ---- row-shifted stacks -------------------------------------------------
-    # relative rows: [K, H, Wp, C], entry ki = ref shifted by di = step*ki-reach
+    # relative rows: [K, C, H, Wp], entry ki = ref shifted by di = step*ki-reach
     row_rel = jnp.stack([
-        jax.lax.slice(refp, (pad + step * ki - reach, 0, 0),
-                      (pad + step * ki - reach + h, wp, c))
+        jax.lax.slice(refp, (0, pad + step * ki - reach, 0),
+                      (c, pad + step * ki - reach + h, wp))
         for ki in range(k)])
-    # absolute rows (top strips): [ne_i, K, bs, Wp, C] via constant gather
+    # absolute rows (top strips): [ne_i, K, C, bs, Wp] via constant gather
     if ne_i:
         ri = np.minimum(plan.pos_i[:ne_i], h - bs)      # clamp invalid, masked
         row_idx = pad + ri[:, :, None] + np.arange(bs)[None, None, :]
-        row_abs = refp[jnp.asarray(row_idx)]            # fancy gather on rows
-        cur_top = cur[: ne_i * bs].reshape(ne_i, bs, w, c)
+        row_abs = refp[:, jnp.asarray(row_idx)]         # [C, ne_i, K, bs, Wp]
+        row_abs = row_abs.transpose(1, 2, 0, 3, 4)      # [ne_i, K, C, bs, Wp]
+        cur_top = cur[:, : ne_i * bs].reshape(c, ne_i, bs, w)
+        cur_top = cur_top.transpose(1, 0, 2, 3)         # [ne_i, C, bs, W]
 
     # ---- loop over column candidates ---------------------------------------
     rel_rel = []     # per kj: [K, nbh, nbw]
     abs_rel = []     # per kj: [ne_i, K, nbw]
     for kj in range(k):
         dj = step * kj - reach
-        shifted = jax.lax.slice(row_rel, (0, 0, pad + dj, 0),
-                                (k, h, pad + dj + w, c))
+        shifted = jax.lax.slice(row_rel, (0, 0, 0, pad + dj),
+                                (k, c, h, pad + dj + w))
         rel_rel.append(_tile_sums(_wrap_abs_diff(shifted, cur[None]), bs))
         if ne_i:
-            s = jax.lax.slice(row_abs, (0, 0, 0, pad + dj, 0),
-                              (ne_i, k, bs, pad + dj + w, c))
-            d = _wrap_abs_diff(s, cur_top[:, None])     # [ne_i, K, bs, W, C]
+            s = jax.lax.slice(row_abs, (0, 0, 0, 0, pad + dj),
+                              (ne_i, k, c, bs, pad + dj + w))
+            d = _wrap_abs_diff(s, cur_top[:, None])     # [ne_i, K, C, bs, W]
             abs_rel.append(_tile_sums(d, bs)[..., 0, :])
     s_rel = jnp.stack(rel_rel, axis=1).transpose(2, 3, 0, 1)   # [nbh,nbw,K,K]
     if ne_i:
@@ -154,16 +161,16 @@ def sad_candidates(cur: jnp.ndarray, ref: jnp.ndarray,
     if ne_j:
         cj_pos = np.minimum(plan.pos_j[:ne_j], w - bs)
         col_idx = pad + cj_pos[:, :, None] + np.arange(bs)[None, None, :]
-        col_abs = refp[:, jnp.asarray(col_idx)]        # [Hp, ne_j, K, bs, C]
-        col_abs = col_abs.transpose(1, 2, 0, 3, 4)     # [ne_j, K, Hp, bs, C]
-        cur_left = cur[:, : ne_j * bs].reshape(h, ne_j, bs, c)
-        cur_left = cur_left.transpose(1, 0, 2, 3)      # [ne_j, H, bs, C]
+        col_abs = refp[:, :, jnp.asarray(col_idx)]     # [C, Hp, ne_j, K, bs]
+        col_abs = col_abs.transpose(2, 3, 0, 1, 4)     # [ne_j, K, C, Hp, bs]
+        cur_left = cur[:, :, : ne_j * bs].reshape(c, h, ne_j, bs)
+        cur_left = cur_left.transpose(2, 0, 1, 3)      # [ne_j, C, H, bs]
         rel_abs = []
         for ki in range(k):
             di = step * ki - reach
-            s = jax.lax.slice(col_abs, (0, 0, pad + di, 0, 0),
-                              (ne_j, k, pad + di + h, bs, c))
-            d = _wrap_abs_diff(s, cur_left[:, None])   # [ne_j, K, H, bs, C]
+            s = jax.lax.slice(col_abs, (0, 0, 0, pad + di, 0),
+                              (ne_j, k, c, pad + di + h, bs))
+            d = _wrap_abs_diff(s, cur_left[:, None])   # [ne_j, K, C, H, bs]
             rel_abs.append(_tile_sums(d, bs)[..., 0])
         s_abs_j = jnp.stack(rel_abs, axis=2)           # [ne_j, K(kj), K(ki), nbh]
         s_abs_j = s_abs_j.transpose(3, 0, 2, 1)        # [nbh, ne_j, K(ki), K(kj)]
@@ -172,23 +179,29 @@ def sad_candidates(cur: jnp.ndarray, ref: jnp.ndarray,
     if ne_i and ne_j:
         ri = np.minimum(plan.pos_i[:ne_i], h - bs)     # [ne_i, K]
         cjp = np.minimum(plan.pos_j[:ne_j], w - bs)    # [ne_j, K]
-        ii = ri[:, None, :, None, None, None] + np.arange(bs)[None, None, None, None, :, None]
-        jj = cjp[None, :, None, :, None, None] + np.arange(bs)[None, None, None, None, None, :]
-        ii = np.broadcast_to(ii, (ne_i, ne_j, k, k, bs, bs))
-        jj = np.broadcast_to(jj, (ne_i, ne_j, k, k, bs, bs))
-        patches = ref[jnp.asarray(ii), jnp.asarray(jj)]  # [ne_i,ne_j,K,K,bs,bs,C]
-        cur_c = cur[: ne_i * bs, : ne_j * bs].reshape(ne_i, bs, ne_j, bs, c)
-        cur_c = cur_c.transpose(0, 2, 1, 3, 4)[:, :, None, None]
-        s_corner = _wrap_abs_diff(patches, cur_c).sum(
-            axis=(-3, -2, -1), dtype=jnp.int32)          # [ne_i, ne_j, K, K]
+        ii = np.broadcast_to(
+            ri[:, None, :, None, None, None]
+            + np.arange(bs)[None, None, None, None, :, None],
+            (ne_i, ne_j, k, k, bs, bs))
+        jj = np.broadcast_to(
+            cjp[None, :, None, :, None, None]
+            + np.arange(bs)[None, None, None, None, None, :],
+            (ne_i, ne_j, k, k, bs, bs))
+        patches = ref[:, jnp.asarray(ii), jnp.asarray(jj)]
+        # [C, ne_i, ne_j, K, K, bs, bs]
+        cur_c = cur[:, : ne_i * bs, : ne_j * bs].reshape(
+            c, ne_i, bs, ne_j, bs).transpose(0, 1, 3, 2, 4)
+        s_corner = _wrap_abs_diff(
+            patches, cur_c[:, :, :, None, None]).sum(
+            axis=(0, -2, -1), dtype=jnp.int32)          # [ne_i, ne_j, K, K]
+    else:
+        s_corner = jnp.zeros((ne_i, ne_j, k, k), jnp.int32)
 
     # ---- stitch families by block position ---------------------------------
-    #   [ corner   | abs-rows ]      rows < ne_i
-    #   [ abs-cols | relative ]      rows >= ne_i
-    top = None
-    if ne_i:
-        top = (jnp.concatenate([s_corner, s_abs_i[:, ne_j:]], axis=1)
-               if ne_j else s_abs_i)
+    #   [ corner  | abs-rows ]      rows < ne_i
+    #   [ abs-cols| relative ]      rows >= ne_i
+    top = (jnp.concatenate([s_corner, s_abs_i[:, ne_j:]], axis=1)
+           if ne_j else s_abs_i) if ne_i else None
     bottom = (jnp.concatenate([s_abs_j[ne_i:], s_rel[ne_i:, ne_j:]], axis=1)
               if ne_j else s_rel[ne_i:])
     return jnp.concatenate([top, bottom], axis=0) if ne_i else bottom
@@ -196,7 +209,7 @@ def sad_candidates(cur: jnp.ndarray, ref: jnp.ndarray,
 
 def static_sad(cur: jnp.ndarray, ref: jnp.ndarray, bs: int) -> jnp.ndarray:
     """Saturating co-located SAD (ref: motion.py:109-111 uses cv2.subtract,
-    which clamps at 0): [nbh, nbw] int32."""
+    which clamps at 0): [nbh, nbw] int32. Planar [C, H, W] inputs."""
     diff = jnp.maximum(ref - cur, 0)
     return _tile_sums(diff, bs)
 
@@ -208,9 +221,9 @@ def motion_search(cur: jnp.ndarray, ref: jnp.ndarray, *, bs: int = 8,
                   static_threshold: int = 2000) -> jnp.ndarray:
     """Reference-exact motion vectors [nbh, nbw, 2] int32 as (dx, dy).
 
-    `cur`, `ref`: int32 (uint8-valued) [H, W, 3].
+    `cur`, `ref`: int32 (uint8-valued) planar [C, H, W].
     """
-    h, w, _ = cur.shape
+    _, h, w = cur.shape
     plan = make_plan(h, w, bs, reach, step)
     nbh, nbw, k = plan.nbh, plan.nbw, plan.k
 
@@ -248,17 +261,17 @@ def motion_search(cur: jnp.ndarray, ref: jnp.ndarray, *, bs: int = 8,
 @functools.partial(jax.jit, static_argnames=("bs",))
 def motion_compensate(mv: jnp.ndarray, ref: jnp.ndarray, bs: int) -> jnp.ndarray:
     """Rebuild a frame purely from motion vectors + reference
-    (ref: motion.py:42-69). `mv` [nbh, nbw, 2] (dx, dy); `ref` [H, W, C]."""
-    h, w, c = ref.shape
+    (ref: motion.py:42-69). `mv` [nbh, nbw, 2] (dx, dy); `ref` [C, H, W]."""
+    c, h, w = ref.shape
     nbh, nbw = h // bs, w // bs
     ci = jnp.arange(nbh)[:, None] * bs + mv[..., 1]
     cj = jnp.arange(nbw)[None, :] * bs + mv[..., 0]
 
     def grab(i0, j0):
-        return jax.lax.dynamic_slice(ref, (i0, j0, 0), (bs, bs, c))
+        return jax.lax.dynamic_slice(ref, (0, i0, j0), (c, bs, bs))
 
-    blocks = jax.vmap(jax.vmap(grab))(ci, cj)          # [nbh, nbw, bs, bs, C]
-    return blocks.transpose(0, 2, 1, 3, 4).reshape(h, w, c)
+    blocks = jax.vmap(jax.vmap(grab))(ci, cj)          # [nbh, nbw, C, bs, bs]
+    return blocks.transpose(2, 0, 3, 1, 4).reshape(c, h, w)
 
 
 def residuals_wrap(cur: jnp.ndarray, recon: jnp.ndarray) -> jnp.ndarray:

@@ -17,6 +17,8 @@ wasted work). Candidate validity and global candidate rows are data (sharded
 [nbh, K] arrays from the host plan), because the bottom clamp i_max = min(c +
 reach, H) (motion.py:127) crosses tile boundaries.
 
+Layout is planar [C, H, W] like the rest of the device pipeline.
+
 Bit-exactness vs the unsharded path is asserted in tests/test_parallel.py.
 Constraint: tile height must be a multiple of bs and >= halo = reach + bs
 (each halo comes from a single neighbor).
@@ -25,13 +27,12 @@ Constraint: tile height must be a multiple of bs and >= halo = reach + bs
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from vcs_h264_tpu.config import CodecConfig
 from vcs_h264_tpu.models.gop import EncodedGOP
@@ -43,52 +44,55 @@ from vcs_h264_tpu.ops.motion import (_INIT_SENTINEL, _MASKED, _tile_sums,
 
 
 def _halo_exchange(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
-    """[..., th, W, C] -> [..., th + 2*halo, W, C] with neighbor rows.
+    """[..., C, th, W] -> [..., C, th + 2*halo, W] with neighbor rows.
 
     Missing neighbors (frame edges) contribute zeros — those rows are only
     reachable by masked candidates."""
     n = lax.axis_size(axis_name)
     down = [(i, i + 1) for i in range(n - 1)]       # my bottom rows -> next tile
     up = [(i, i - 1) for i in range(1, n)]          # my top rows -> prev tile
-    top_halo = lax.ppermute(x[..., -halo:, :, :], axis_name, down)
-    bot_halo = lax.ppermute(x[..., :halo, :, :], axis_name, up)
-    return jnp.concatenate([top_halo, x, bot_halo], axis=-3)
+    top_halo = lax.ppermute(x[..., -halo:, :], axis_name, down)
+    bot_halo = lax.ppermute(x[..., :halo, :], axis_name, up)
+    return jnp.concatenate([top_halo, x, bot_halo], axis=-2)
 
 
 def _tile_search(cur_t, strip, valid_i_t, pos_i_t, tile_idx, plan, th):
-    """Search one tile. cur_t [th, W, C] int32; strip [th+2h, W, C];
-    valid_i_t/pos_i_t [nbh_t, K]; returns mv [nbh_t, nbw, 2]."""
+    """Search one tile. cur_t [C, th, W] int32; strip [C, th+2h, W];
+    valid_i_t/pos_i_t [nbh_t, K]; returns (pi, pj, hit)."""
     bs, reach, step, k = plan.bs, plan.reach, plan.step, plan.k
     w = plan.w
     ne_i, ne_j = plan.n_edge_i, plan.n_edge_j
     nbw = plan.nbw
     nbh_t = th // bs
-    c = cur_t.shape[-1]
+    c = cur_t.shape[0]
     halo = reach + bs
     pad_j = reach + bs
-    stripp = jnp.pad(strip, ((0, 0), (pad_j, pad_j), (0, 0)))
+    stripp = jnp.pad(strip, ((0, 0), (0, 0), (pad_j, pad_j)))
     wp = w + 2 * pad_j
-    strip_h = strip.shape[0]
+    strip_h = strip.shape[-2]
 
-    # ---- relative-rows stack [K, th, Wp, C] --------------------------------
+    # ---- relative-rows stack [K, C, th, Wp] --------------------------------
     row_rel = jnp.stack([
-        lax.slice(stripp, (halo - reach + step * ki, 0, 0),
-                  (halo - reach + step * ki + th, wp, c))
+        lax.slice(stripp, (0, halo - reach + step * ki, 0),
+                  (c, halo - reach + step * ki + th, wp))
         for ki in range(k)])
     # ---- absolute-rows stack (global top grid; tile-0 strip rows) ----------
     row_abs = jnp.stack([
-        lax.slice(stripp, (min(halo + step * ki, strip_h - bs), 0, 0),
-                  (min(halo + step * ki, strip_h - bs) + bs, wp, c))
-        for ki in range(k)])                                  # [K, bs, Wp, C]
-    cur_top = cur_t[: ne_i * bs].reshape(ne_i, bs, w, c)
+        lax.slice(stripp, (0, min(halo + step * ki, strip_h - bs), 0),
+                  (c, min(halo + step * ki, strip_h - bs) + bs, wp))
+        for ki in range(k)])                                  # [K, C, bs, Wp]
+    cur_top = cur_t[:, : ne_i * bs].reshape(c, ne_i, bs, w)
+    cur_top = cur_top.transpose(1, 0, 2, 3)                   # [ne_i, C, bs, W]
 
     rel_list, abs_list = [], []
     for kj in range(k):
         dj = step * kj - reach
-        shifted = lax.slice(row_rel, (0, 0, pad_j + dj, 0), (k, th, pad_j + dj + w, c))
+        shifted = lax.slice(row_rel, (0, 0, 0, pad_j + dj),
+                            (k, c, th, pad_j + dj + w))
         rel_list.append(_tile_sums(_wrap_abs_diff(shifted, cur_t[None]), bs))
-        s = lax.slice(row_abs, (0, 0, pad_j + dj, 0), (k, bs, pad_j + dj + w, c))
-        d = _wrap_abs_diff(s[None], cur_top[:, None])         # [ne_i,K,bs,W,C]
+        s = lax.slice(row_abs, (0, 0, 0, pad_j + dj),
+                      (k, c, bs, pad_j + dj + w))
+        d = _wrap_abs_diff(s[None], cur_top[:, None])         # [ne_i,K,C,bs,W]
         abs_list.append(_tile_sums(d, bs)[..., 0, :])         # [ne_i,K,nbw]
     s_rel = jnp.stack(rel_list, 1).transpose(2, 3, 0, 1)      # [nbh_t,nbw,K,K]
     s_abs_i = jnp.stack(abs_list, 2).transpose(0, 3, 1, 2)    # [ne_i,nbw,K,K]
@@ -96,19 +100,20 @@ def _tile_search(cur_t, strip, valid_i_t, pos_i_t, tile_idx, plan, th):
     # ---- absolute-cols family (global left edge, present on every tile) ----
     cjp = np.minimum(plan.pos_j[:ne_j], w - bs)               # [ne_j, K]
     col_idx = pad_j + cjp[:, :, None] + np.arange(bs)[None, None, :]
-    col_abs = stripp[:, jnp.asarray(col_idx)]                 # [SH, ne_j, K, bs, C]
-    col_abs = col_abs.transpose(1, 2, 0, 3, 4)                # [ne_j, K, SH, bs, C]
-    cur_left = cur_t[:, : ne_j * bs].reshape(th, ne_j, bs, c).transpose(1, 0, 2, 3)
+    col_abs = stripp[:, :, jnp.asarray(col_idx)]              # [C, SH, ne_j, K, bs]
+    col_abs = col_abs.transpose(2, 3, 0, 1, 4)                # [ne_j, K, C, SH, bs]
+    cur_left = cur_t[:, :, : ne_j * bs].reshape(c, th, ne_j, bs)
+    cur_left = cur_left.transpose(2, 0, 1, 3)                 # [ne_j, C, th, bs]
     rel_abs = []
     for ki in range(k):
-        s = lax.slice(col_abs, (0, 0, halo - reach + step * ki, 0, 0),
-                      (ne_j, k, halo - reach + step * ki + th, bs, c))
-        d = _wrap_abs_diff(s, cur_left[:, None])              # [ne_j,K,th,bs,C]
+        s = lax.slice(col_abs, (0, 0, 0, halo - reach + step * ki, 0),
+                      (ne_j, k, c, halo - reach + step * ki + th, bs))
+        d = _wrap_abs_diff(s, cur_left[:, None])              # [ne_j,K,C,th,bs]
         rel_abs.append(_tile_sums(d, bs)[..., 0])             # [ne_j,K(kj),nbh_t]
     s_abs_j = jnp.stack(rel_abs, 2).transpose(3, 0, 2, 1)     # [nbh_t,ne_j,K,K]
 
     # ---- corner family (global top-left; tile 0 strip rows) ----------------
-    # indices [ne_j, K(ki), K(kj), bs, bs]
+    # indices [ne_j, K(ki), K(kj), bs, bs] into the (unpadded-cols) strip
     ri = np.minimum(halo + step * np.arange(k), strip_h - bs)  # [K]
     ii = np.broadcast_to(ri[None, :, None, None, None]
                          + np.arange(bs)[None, None, None, :, None],
@@ -116,12 +121,12 @@ def _tile_search(cur_t, strip, valid_i_t, pos_i_t, tile_idx, plan, th):
     jj = np.broadcast_to(cjp[:, None, :, None, None]
                          + np.arange(bs)[None, None, None, None, :],
                          (ne_j, k, k, bs, bs))
-    patches = strip[jnp.asarray(ii), jnp.asarray(jj)]     # [ne_j,K,K,bs,bs,C]
-    cur_c = cur_t[: ne_i * bs, : ne_j * bs].reshape(ne_i, bs, ne_j, bs, c)
-    cur_c = cur_c.transpose(0, 2, 1, 3, 4)                # [ne_i,ne_j,bs,bs,C]
-    s_corner = _wrap_abs_diff(patches[None, :, :, :],
-                              cur_c[:, :, None, None]).sum(
-        axis=(-3, -2, -1), dtype=jnp.int32)               # [ne_i,ne_j,K,K]
+    patches = strip[:, jnp.asarray(ii), jnp.asarray(jj)]  # [C,ne_j,K,K,bs,bs]
+    cur_c = cur_t[:, : ne_i * bs, : ne_j * bs].reshape(c, ne_i, bs, ne_j, bs)
+    cur_c = cur_c.transpose(0, 1, 3, 2, 4)                # [C,ne_i,ne_j,bs,bs]
+    s_corner = _wrap_abs_diff(patches[:, None],
+                              cur_c[:, :, :, None, None]).sum(
+        axis=(0, -2, -1), dtype=jnp.int32)                # [ne_i,ne_j,K,K]
 
     # ---- stitch ------------------------------------------------------------
     is_top_tile = tile_idx == 0
@@ -156,7 +161,7 @@ def _finish_mv(pi, pj, cur_t, strip, tile_idx, plan, th, static_threshold):
     halo = plan.reach + bs
     nbh_t = th // bs
     nbw = plan.nbw
-    ref_t = strip[halo:halo + th]
+    ref_t = strip[:, halo:halo + th]
     stat = M.static_sad(cur_t, ref_t, bs) <= static_threshold
     ci = tile_idx * th + jnp.arange(nbh_t)[:, None] * bs
     cj = jnp.arange(nbw)[None, :] * bs
@@ -165,53 +170,49 @@ def _finish_mv(pi, pj, cur_t, strip, tile_idx, plan, th, static_threshold):
     return jnp.stack([pj - cj, pi - ci], axis=-1).astype(jnp.int32)
 
 
-def tile_motion_search(cur_t, strip, valid_i_t, pos_i_t, tile_idx, cfg: CodecConfig,
-                       h: int, w: int, th: int):
+def tile_motion_search(cur_t, strip, valid_i_t, pos_i_t, tile_idx,
+                       cfg: CodecConfig, h: int, w: int, th: int):
     plan = make_plan(h, w, cfg.block_size, cfg.search_reach, cfg.search_step)
-    pi, pj, _ = _tile_search(cur_t, strip, valid_i_t, pos_i_t, tile_idx, plan, th)
+    pi, pj, _ = _tile_search(cur_t, strip, valid_i_t, pos_i_t, tile_idx,
+                             plan, th)
     return _finish_mv(pi, pj, cur_t, strip, tile_idx, plan, th,
                       cfg.static_threshold)
 
 
 def tile_motion_compensate(mv_t, strip, tile_idx, bs: int, th: int, halo: int):
-    """mv_t [nbh_t, nbw, 2]; strip [th+2h, W, C] -> recon tile [th, W, C]."""
-    sh, w, c = strip.shape
+    """mv_t [nbh_t, nbw, 2]; strip [C, th+2h, W] -> recon tile [C, th, W]."""
+    c, sh, w = strip.shape
     nbh_t, nbw = mv_t.shape[:2]
     # global row pi = tile_idx*th + bi*bs + dy  -> strip row pi - tile_idx*th + halo
     li = jnp.arange(nbh_t)[:, None] * bs + mv_t[..., 1] + halo
     # fallback mv may point at global row 0 (motion.py:102): clamp; unreachable
-    # when th >= reach (see module docstring)
+    # when th >= halo (see module docstring)
     li = jnp.clip(li, 0, sh - bs)
     lj = jnp.clip(jnp.arange(nbw)[None, :] * bs + mv_t[..., 0], 0, w - bs)
 
     def grab(i0, j0):
-        return lax.dynamic_slice(strip, (i0, j0, 0), (bs, bs, c))
+        return lax.dynamic_slice(strip, (0, i0, j0), (c, bs, bs))
 
-    blocks = jax.vmap(jax.vmap(grab))(li, lj)
-    return blocks.transpose(0, 2, 1, 3, 4).reshape(th, w, c)
+    blocks = jax.vmap(jax.vmap(grab))(li, lj)          # [nbh_t, nbw, C, bs, bs]
+    return blocks.transpose(2, 0, 3, 1, 4).reshape(c, th, w)
 
 
 # ---------------------------------------------------------------------------
 # Sharded batch pipelines
 
 
-def _specs(cfg: CodecConfig, with_residuals: bool):
-    i_spec = P("gop", "tile", None, None)
-    p_spec = P("gop", None, "tile", None, None)
-    mv_spec = P("gop", None, "tile", None, None)
-    if not with_residuals:
-        res_spec = None
-    elif cfg.with_dct:
-        res_spec = P("gop", None, None, "tile", None)   # [B,P,3,H,W]
-    else:
-        res_spec = P("gop", None, "tile", None, None)   # [B,P,H,W,3]
-    return i_spec, p_spec, mv_spec, res_spec
+_I_SPEC = P("gop", None, "tile", None)                 # [B, 3, H, W]
+_P_SPEC = P("gop", None, None, "tile", None)           # [B, P, 3, H, W]
+_MV_SPEC = P("gop", None, "tile", None, None)          # [B, P, nbh, nbw, 2]
+_RES_SPEC = P("gop", None, None, "tile", None)         # [B, P, 3, H, W]
+_FRAMES_SPEC = P("gop", None, None, "tile", None)      # [B, 1+P, 3, H, W]
+_PLAN_SPEC = P("tile", None)
 
 
 @functools.lru_cache(maxsize=None)
 def make_sharded_encoder(mesh: Mesh, cfg: CodecConfig, h: int, w: int):
-    """Returns jitted fn(i_frames [B,H,W,3] i32, p_frames [B,P,H,W,3] i32)
-    -> (i_frames, mv, residuals) sharded over (gop, tile)."""
+    """Returns jitted fn(i_frames [B,3,H,W] i32, p_frames [B,P,3,H,W] i32)
+    -> EncodedGOP batch sharded over (gop, tile)."""
     n_tile = mesh.shape["tile"]
     th = h // n_tile
     bs = cfg.block_size
@@ -223,13 +224,10 @@ def make_sharded_encoder(mesh: Mesh, cfg: CodecConfig, h: int, w: int):
     valid_i = jnp.asarray(plan.valid_i)            # [nbh, K]
     pos_i = jnp.asarray(plan.pos_i)
 
-    i_spec, p_spec, mv_spec, res_spec = _specs(cfg, cfg.with_residual)
-    plan_spec = P("tile", None)
-
     def local_fn(i_t, p_t, valid_i_t, pos_i_t):
-        # i_t [Bl, th, W, 3]; p_t [Bl, Pf, th, W, 3]
+        # i_t [Bl, 3, th, W]; p_t [Bl, Pf, 3, th, W]
         tile_idx = lax.axis_index("tile")
-        strip = _halo_exchange(i_t, halo, "tile")  # [Bl, th+2h, W, 3]
+        strip = _halo_exchange(i_t, halo, "tile")  # [Bl, 3, th+2h, W]
 
         def search_gop(i_strip, p_frames):
             return jax.vmap(lambda p: tile_motion_search(
@@ -251,10 +249,10 @@ def make_sharded_encoder(mesh: Mesh, cfg: CodecConfig, h: int, w: int):
         mv, resid = jax.vmap(per_gop)(strip, p_t)
         return i_t, mv, resid
 
-    out_specs = (i_spec, mv_spec) if not cfg.with_residual \
-        else (i_spec, mv_spec, res_spec)
+    out_specs = (_I_SPEC, _MV_SPEC) if not cfg.with_residual \
+        else (_I_SPEC, _MV_SPEC, _RES_SPEC)
     fn = jax.shard_map(local_fn, mesh=mesh,
-                       in_specs=(i_spec, p_spec, plan_spec, plan_spec),
+                       in_specs=(_I_SPEC, _P_SPEC, _PLAN_SPEC, _PLAN_SPEC),
                        out_specs=out_specs, check_vma=False)
 
     @jax.jit
@@ -269,13 +267,11 @@ def make_sharded_encoder(mesh: Mesh, cfg: CodecConfig, h: int, w: int):
 
 @functools.lru_cache(maxsize=None)
 def make_sharded_decoder(mesh: Mesh, cfg: CodecConfig, h: int, w: int):
-    """Returns jitted fn(EncodedGOP batch) -> frames [B, 1+P, H, W, 3] i32."""
+    """Returns jitted fn(EncodedGOP batch) -> frames [B, 1+P, 3, H, W] i32."""
     n_tile = mesh.shape["tile"]
     th = h // n_tile
     bs = cfg.block_size
     halo = cfg.search_reach + bs
-    i_spec, _, mv_spec, res_spec = _specs(cfg, cfg.with_residual)
-    frames_spec = P("gop", None, "tile", None, None)
 
     def local_fn(i_t, mv_t, resid_t):
         tile_idx = lax.axis_index("tile")
@@ -292,20 +288,23 @@ def make_sharded_decoder(mesh: Mesh, cfg: CodecConfig, h: int, w: int):
                 out_p = recon
             return jnp.concatenate([i_tile[None], out_p], axis=0)
 
+        if resid_t is None:
+            return jax.vmap(lambda s, i, m: per_gop(s, i, m, None))(
+                strip, i_t, mv_t)
         return jax.vmap(per_gop)(strip, i_t, mv_t, resid_t)
 
     if cfg.with_residual:
         fn = jax.shard_map(local_fn, mesh=mesh,
-                           in_specs=(i_spec, mv_spec, res_spec),
-                           out_specs=frames_spec, check_vma=False)
+                           in_specs=(_I_SPEC, _MV_SPEC, _RES_SPEC),
+                           out_specs=_FRAMES_SPEC, check_vma=False)
 
         @jax.jit
         def run(gop: EncodedGOP):
             return fn(gop.i_frame, gop.mv, gop.residuals)
     else:
         fn = jax.shard_map(lambda i, m: local_fn(i, m, None), mesh=mesh,
-                           in_specs=(i_spec, mv_spec),
-                           out_specs=frames_spec, check_vma=False)
+                           in_specs=(_I_SPEC, _MV_SPEC),
+                           out_specs=_FRAMES_SPEC, check_vma=False)
 
         @jax.jit
         def run(gop: EncodedGOP):
@@ -315,10 +314,10 @@ def make_sharded_decoder(mesh: Mesh, cfg: CodecConfig, h: int, w: int):
 
 
 def sharded_encode_gop_batch(i_frames, p_frames, cfg: CodecConfig, mesh: Mesh):
-    h, w = i_frames.shape[-3:-1]
+    h, w = i_frames.shape[-2:]
     return make_sharded_encoder(mesh, cfg, h, w)(i_frames, p_frames)
 
 
 def sharded_decode_gop_batch(gop: EncodedGOP, cfg: CodecConfig, mesh: Mesh):
-    h, w = gop.i_frame.shape[-3:-1]
+    h, w = gop.i_frame.shape[-2:]
     return make_sharded_decoder(mesh, cfg, h, w)(gop)
