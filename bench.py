@@ -1,0 +1,124 @@
+"""Benchmark: end-to-end encode+decode throughput on real video frames.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N, ...extras}
+
+Method: frames of the reference's headline video (slow_traffic_small.mp4,
+640x360) are uploaded to the device once; the timed loop runs the full
+encode -> decode -> PSNR pipeline on device, with a per-iteration spatial
+roll of the P-frames (simulates fresh motion content and defeats any
+(executable, args) caching in the dispatch path) and fetches only scalars.
+This measures sustained codec throughput with device-resident frames — the
+production configuration (host DMA overlaps compute); the dev tunnel's
+~20 MB/s host link is not the object under test.
+
+Baseline denominator: the measured Python reference (tools/
+measure_reference_baseline.py -> BASELINE_MEASURED.json), end-to-end
+encode+decode fps on one CPU core of this machine.
+"""
+
+import functools
+import json
+import os
+import time
+
+import numpy as np
+
+VIDEO = "/root/reference/videos/slow_traffic_small.mp4"
+BASE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    "BASELINE_MEASURED.json")
+N_FRAMES = 64          # frames resident on device (16 GOPs)
+N_ITERS = 24
+WARMUP = 3
+
+
+def load_frames(path, n):
+    import cv2
+    cap = cv2.VideoCapture(path)
+    frames = []
+    while len(frames) < n:
+        ok, f = cap.read()
+        if not ok:
+            break
+        frames.append(f)
+    cap.release()
+    return frames
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from vcs_h264_tpu.config import CodecConfig
+    from vcs_h264_tpu.models import pipeline
+    from vcs_h264_tpu.utils.metrics import psnr_jnp
+
+    cfg = CodecConfig()          # reference operating point: bs=8 IPPP QF=50
+    frames = load_frames(VIDEO, N_FRAMES)
+    if not frames:
+        raise SystemExit(json.dumps({"metric": "encode_decode_fps",
+                                     "value": 0, "unit": "fps",
+                                     "vs_baseline": 0,
+                                     "error": "video unavailable"}))
+    h = len(frames) and frames[0].shape[0]
+    arr = np.stack(frames).transpose(0, 3, 1, 2).astype(np.int32)  # [N,3,H,W]
+    g = cfg.gop_len
+    b = len(frames) // g
+    i_b = jnp.asarray(arr[::g][:b])                                # [B,3,H,W]
+    p_b = jnp.asarray(
+        np.stack([arr[k * g + 1:k * g + g] for k in range(b)]))    # [B,P,3,H,W]
+
+    @jax.jit
+    def step(i_frames, p_frames, t):
+        # fresh motion content each iteration: spatial roll of the P frames
+        p = jnp.roll(p_frames, t, axis=-1)
+        enc = pipeline.encode_gop_batch(i_frames, p, cfg)
+        dec = pipeline.decode_gop_batch(enc, cfg)
+        mean_psnr = psnr_jnp(dec[:, 1:], p)
+        nonzero = jnp.sum(enc.mv)
+        return mean_psnr, nonzero
+
+    # warmup / compile
+    for t in range(WARMUP):
+        out = step(i_b, p_b, jnp.int32(t))
+        jax.block_until_ready(out)
+
+    # Timed region ends only after every result SCALAR has been fetched to
+    # host — block_until_ready alone is not a reliable sync point through the
+    # dev tunnel's async dispatch.
+    t0 = time.perf_counter()
+    acc = []
+    for t in range(N_ITERS):
+        acc.append(step(i_b, p_b, jnp.int32(t + 100)))
+    vals = [(float(a), int(nz)) for a, nz in acc]
+    dt = time.perf_counter() - t0
+
+    frames_done = N_ITERS * b * g
+    fps = frames_done / dt
+    psnr_db = float(np.mean([v[0] for v in vals]))
+
+    vs = None
+    extras = {}
+    if os.path.exists(BASE):
+        base = json.load(open(BASE))
+        ref_fps = base.get("end_to_end_fps")
+        if ref_fps:
+            vs = fps / ref_fps
+        extras["baseline_fps"] = ref_fps
+        extras["baseline_psnr_db"] = base.get("mean_psnr_db")
+
+    result = {
+        "metric": "encode_decode_fps_640x360",
+        "value": round(fps, 1),
+        "unit": "fps",
+        "vs_baseline": round(vs, 1) if vs else None,
+        "psnr_db_vs_input": round(psnr_db, 2),
+        "frames": frames_done,
+        "seconds": round(dt, 3),
+        "device": str(jax.devices()[0]),
+        **extras,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

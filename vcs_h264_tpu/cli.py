@@ -1,0 +1,158 @@
+"""Command-line driver (replaces the reference's edit-the-constants script,
+`InterframeCompression/main.py:13-16,27-28`).
+
+    python -m vcs_h264_tpu.cli encode IN.mp4 -o OUT.npz [--qf 50 ...]
+    python -m vcs_h264_tpu.cli decode IN.npz -o OUT.mp4
+    python -m vcs_h264_tpu.cli roundtrip IN.mp4 -o OUT.mp4 [--metrics m.jsonl]
+    python -m vcs_h264_tpu.cli intra IN.png  (the intra study, intraframe.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _add_codec_args(p: argparse.ArgumentParser):
+    p.add_argument("--block-size", type=int, default=8)
+    p.add_argument("--gop", type=str, default="IPPP",
+                   help="GOP pattern, e.g. IPPP")
+    p.add_argument("--qf", type=float, default=50.0, help="quality factor")
+    p.add_argument("--no-dct", action="store_true")
+    p.add_argument("--no-residual", action="store_true")
+    p.add_argument("--quant-mode", choices=["reference", "rounded"],
+                   default="reference")
+    p.add_argument("--gop-batch", type=int, default=8)
+    p.add_argument("--max-frames", type=int, default=None)
+
+
+def _cfg(args):
+    from vcs_h264_tpu.config import CodecConfig
+    return CodecConfig(
+        block_size=args.block_size,
+        gop_pattern=tuple(args.gop),
+        quality_factor=args.qf,
+        with_dct=not args.no_dct and not args.no_residual,
+        with_residual=not args.no_residual,
+        quant_mode=args.quant_mode)
+
+
+def cmd_encode(args):
+    from vcs_h264_tpu.models import Encoder
+    enc = Encoder(_cfg(args), gop_batch=args.gop_batch)
+    t0 = time.perf_counter()
+    video = enc.encode_video(args.input, max_frames=args.max_frames)
+    dt = time.perf_counter() - t0
+    video.save_npz(args.output)
+    print(f"encoded {video.num_frames} frames in {dt:.2f}s "
+          f"({video.num_frames / dt:.1f} fps) -> {args.output}")
+
+
+def cmd_decode(args):
+    from vcs_h264_tpu.models import Decoder
+    from vcs_h264_tpu.models.gop import EncodedVideo
+    video = EncodedVideo.load_npz(args.input)
+    t0 = time.perf_counter()
+    Decoder(gop_batch=args.gop_batch).decode_to_file(video, args.output)
+    dt = time.perf_counter() - t0
+    print(f"decoded {video.num_frames} frames in {dt:.2f}s -> {args.output}")
+
+
+def cmd_roundtrip(args):
+    from vcs_h264_tpu.models import Encoder, Decoder
+    from vcs_h264_tpu.io.video import VideoReader, VideoWriter
+    from vcs_h264_tpu.utils.metrics import psnr, MetricsLogger
+
+    cfg = _cfg(args)
+    reader = VideoReader(args.input, block_multiple=cfg.block_size,
+                         max_frames=args.max_frames)
+    frames = reader.read_all()
+    enc = Encoder(cfg, gop_batch=args.gop_batch)
+    t0 = time.perf_counter()
+    video = enc.encode_frames(frames, fps=reader.fps)
+    recon = Decoder(gop_batch=args.gop_batch).decode(video)
+    dt = time.perf_counter() - t0
+
+    logger = MetricsLogger(args.metrics) if args.metrics else None
+    psnrs = []
+    for i, (f, r) in enumerate(zip(frames, recon)):
+        p = psnr(f, r)
+        psnrs.append(p)
+        if logger:
+            logger.log("frame", index=i, psnr_db=p)
+    mean_psnr = float(np.mean([p for p in psnrs if np.isfinite(p)] or [np.inf]))
+    print(f"{len(frames)} frames in {dt:.2f}s ({len(frames)/dt:.1f} fps), "
+          f"mean PSNR {mean_psnr:.2f} dB")
+    if args.output:
+        writer = VideoWriter(args.output, video.width, video.height, video.fps)
+        for r in recon:
+            writer.write(r)
+        writer.close()
+        print(f"wrote {args.output}")
+    if logger:
+        logger.log("summary", frames=len(frames), seconds=dt,
+                   fps=len(frames) / dt, mean_psnr_db=mean_psnr)
+        logger.close()
+
+
+def cmd_intra(args):
+    """The intra study (ref: intraframe.py:319-391): mode search + sparsity."""
+    import cv2
+    import jax.numpy as jnp
+    from vcs_h264_tpu.ops import intra
+    from vcs_h264_tpu.utils.metrics import sparsity
+
+    img = cv2.imread(args.input)
+    if img is None:
+        sys.exit(f"cannot read {args.input}")
+    h, w = img.shape[:2]
+    img = cv2.resize(img, (16 * (w // 16), 16 * (h // 16)))
+    ycc = cv2.cvtColor(img, cv2.COLOR_BGR2YCR_CB)
+    y, cr, cb = (jnp.asarray(ycc[..., i], jnp.int32) for i in range(3))
+    if args.mode == "4x4":
+        yres, ypred, modes = intra.luma4x4(y)
+    else:
+        yres, ypred, modes = intra.luma16x16(y)
+    crres, crpred, cbres, cbpred, cmodes = intra.chroma8x8(cr, cb)
+    # the reference's printed statistics (intraframe.py:360-365)
+    for name, r in [("Y", yres), ("Cb", cbres), ("Cr", crres)]:
+        print(f"sparsity ({name}): {sparsity(np.asarray(r)):.6f}")
+    if args.output:
+        pred = np.dstack([np.asarray(ypred), np.asarray(crpred),
+                          np.asarray(cbpred)]).astype(np.uint8)
+        cv2.imwrite(args.output, cv2.cvtColor(pred, cv2.COLOR_YCR_CB2BGR))
+        print(f"wrote prediction image -> {args.output}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="vcs_h264_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("encode", help="encode video -> .npz bitstream")
+    p.add_argument("input"); p.add_argument("-o", "--output", required=True)
+    _add_codec_args(p); p.set_defaults(fn=cmd_encode)
+
+    p = sub.add_parser("decode", help="decode .npz bitstream -> video")
+    p.add_argument("input"); p.add_argument("-o", "--output", required=True)
+    p.add_argument("--gop-batch", type=int, default=8)
+    p.set_defaults(fn=cmd_decode)
+
+    p = sub.add_parser("roundtrip", help="encode+decode, report PSNR")
+    p.add_argument("input"); p.add_argument("-o", "--output", default=None)
+    p.add_argument("--metrics", default=None, help="JSONL metrics path")
+    _add_codec_args(p); p.set_defaults(fn=cmd_roundtrip)
+
+    p = sub.add_parser("intra", help="intra-frame study on an image")
+    p.add_argument("input"); p.add_argument("-o", "--output", default=None)
+    p.add_argument("--mode", choices=["4x4", "16x16"], default="4x4")
+    p.set_defaults(fn=cmd_intra)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -68,9 +68,9 @@ def dct_decompress_residual(coeffs: jnp.ndarray, cfg: CodecConfig) -> jnp.ndarra
     return color.ycrcb_to_bgr_planes(ycc)
 
 
-def _search_one(p_frame, i_frame, cfg: CodecConfig):
-    return motion.motion_search(
-        p_frame, i_frame, bs=cfg.block_size, reach=cfg.search_reach,
+def _search_gop(p_frames, i_frame, cfg: CodecConfig):
+    return motion.motion_search_batch(
+        p_frames, i_frame, bs=cfg.block_size, reach=cfg.search_reach,
         step=cfg.search_step, static_threshold=cfg.static_threshold)
 
 
@@ -82,7 +82,7 @@ def encode_gop(i_frame: jnp.ndarray, p_frames: jnp.ndarray,
     `_process_P_frame` (motion -> compensate -> residual -> DCT,
     encoder.py:49-70); every P references the GOP's I (encoder.py:51).
     """
-    mv = jax.vmap(lambda p: _search_one(p, i_frame, cfg))(p_frames)
+    mv = _search_gop(p_frames, i_frame, cfg)
     if not cfg.with_residual:
         return EncodedGOP(i_frame=i_frame, mv=mv, residuals=None)
     recon = jax.vmap(lambda m: motion.motion_compensate(

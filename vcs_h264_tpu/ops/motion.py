@@ -106,6 +106,70 @@ def _wrap_abs_diff(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return (a - b) & 255
 
 
+def _family_abs_cols(cur, refp, plan):
+    """Absolute-column candidates for the left edge strips:
+    [nbh, ne_j, K(ki), K(kj)] (rows relative; valid meaning rows >= ne_i)."""
+    bs, reach, step, k = plan.bs, plan.reach, plan.step, plan.k
+    h, w, ne_j = plan.h, plan.w, plan.n_edge_j
+    c = cur.shape[0]
+    pad = reach + bs
+    cj_pos = np.minimum(plan.pos_j[:ne_j], w - bs)
+    col_idx = pad + cj_pos[:, :, None] + np.arange(bs)[None, None, :]
+    col_abs = refp[:, :, jnp.asarray(col_idx)]     # [C, Hp, ne_j, K, bs]
+    col_abs = col_abs.transpose(2, 3, 0, 1, 4)     # [ne_j, K, C, Hp, bs]
+    cur_left = cur[:, :, : ne_j * bs].reshape(c, h, ne_j, bs)
+    cur_left = cur_left.transpose(2, 0, 1, 3)      # [ne_j, C, H, bs]
+    rel_abs = []
+    for ki in range(k):
+        di = step * ki - reach
+        sl = jax.lax.slice(col_abs, (0, 0, 0, pad + di, 0),
+                           (ne_j, k, c, pad + di + h, bs))
+        d = _wrap_abs_diff(sl, cur_left[:, None])  # [ne_j, K, C, H, bs]
+        rel_abs.append(_tile_sums(d, bs)[..., 0])
+    s_abs_j = jnp.stack(rel_abs, axis=2)           # [ne_j, K(kj), K(ki), nbh]
+    return s_abs_j.transpose(3, 0, 2, 1)           # [nbh, ne_j, K(ki), K(kj)]
+
+
+def _family_corner(cur, ref, plan):
+    """Absolute row+column candidates for the top-left corner blocks:
+    [ne_i, ne_j, K, K] via one constant-index gather."""
+    bs, k = plan.bs, plan.k
+    h, w = plan.h, plan.w
+    ne_i, ne_j = plan.n_edge_i, plan.n_edge_j
+    c = cur.shape[0]
+    if not (ne_i and ne_j):
+        return jnp.zeros((ne_i, ne_j, k, k), jnp.int32)
+    ri = np.minimum(plan.pos_i[:ne_i], h - bs)     # [ne_i, K]
+    cjp = np.minimum(plan.pos_j[:ne_j], w - bs)    # [ne_j, K]
+    ii = np.broadcast_to(
+        ri[:, None, :, None, None, None]
+        + np.arange(bs)[None, None, None, None, :, None],
+        (ne_i, ne_j, k, k, bs, bs))
+    jj = np.broadcast_to(
+        cjp[None, :, None, :, None, None]
+        + np.arange(bs)[None, None, None, None, None, :],
+        (ne_i, ne_j, k, k, bs, bs))
+    patches = ref[:, jnp.asarray(ii), jnp.asarray(jj)]
+    # [C, ne_i, ne_j, K, K, bs, bs]
+    cur_c = cur[:, : ne_i * bs, : ne_j * bs].reshape(
+        c, ne_i, bs, ne_j, bs).transpose(0, 1, 3, 2, 4)
+    return _wrap_abs_diff(patches, cur_c[:, :, :, None, None]).sum(
+        axis=(0, -2, -1), dtype=jnp.int32)         # [ne_i, ne_j, K, K]
+
+
+def sad_left_edge(cur: jnp.ndarray, ref: jnp.ndarray,
+                  plan: MotionSearchPlan) -> jnp.ndarray:
+    """SADs for the absolute-grid left-edge block columns only:
+    [nbh, ne_j, K, K] (used to stitch around the Pallas kernel)."""
+    bs = plan.bs
+    pad = plan.reach + bs
+    ne_i = plan.n_edge_i
+    refp = jnp.pad(ref, ((0, 0), (pad, pad), (pad, pad)))
+    s_abs_j = _family_abs_cols(cur, refp, plan)
+    s_corner = _family_corner(cur, ref, plan)
+    return jnp.concatenate([s_corner, s_abs_j[ne_i:]], axis=0)
+
+
 def sad_candidates(cur: jnp.ndarray, ref: jnp.ndarray,
                    plan: MotionSearchPlan) -> jnp.ndarray:
     """Exact SAD of every (block, candidate): [nbh, nbw, K, K] int32.
@@ -157,45 +221,9 @@ def sad_candidates(cur: jnp.ndarray, ref: jnp.ndarray,
         s_abs_i = jnp.stack(abs_rel, axis=2)                   # [ne_i,K,K,nbw]
         s_abs_i = s_abs_i.transpose(0, 3, 1, 2)                # [ne_i,nbw,K,K]
 
-    # ---- absolute columns (left strips): [nbh, ne_j, K, K] -----------------
-    if ne_j:
-        cj_pos = np.minimum(plan.pos_j[:ne_j], w - bs)
-        col_idx = pad + cj_pos[:, :, None] + np.arange(bs)[None, None, :]
-        col_abs = refp[:, :, jnp.asarray(col_idx)]     # [C, Hp, ne_j, K, bs]
-        col_abs = col_abs.transpose(2, 3, 0, 1, 4)     # [ne_j, K, C, Hp, bs]
-        cur_left = cur[:, :, : ne_j * bs].reshape(c, h, ne_j, bs)
-        cur_left = cur_left.transpose(2, 0, 1, 3)      # [ne_j, C, H, bs]
-        rel_abs = []
-        for ki in range(k):
-            di = step * ki - reach
-            s = jax.lax.slice(col_abs, (0, 0, 0, pad + di, 0),
-                              (ne_j, k, c, pad + di + h, bs))
-            d = _wrap_abs_diff(s, cur_left[:, None])   # [ne_j, K, C, H, bs]
-            rel_abs.append(_tile_sums(d, bs)[..., 0])
-        s_abs_j = jnp.stack(rel_abs, axis=2)           # [ne_j, K(kj), K(ki), nbh]
-        s_abs_j = s_abs_j.transpose(3, 0, 2, 1)        # [nbh, ne_j, K(ki), K(kj)]
-
-    # ---- corner blocks: one constant gather --------------------------------
-    if ne_i and ne_j:
-        ri = np.minimum(plan.pos_i[:ne_i], h - bs)     # [ne_i, K]
-        cjp = np.minimum(plan.pos_j[:ne_j], w - bs)    # [ne_j, K]
-        ii = np.broadcast_to(
-            ri[:, None, :, None, None, None]
-            + np.arange(bs)[None, None, None, None, :, None],
-            (ne_i, ne_j, k, k, bs, bs))
-        jj = np.broadcast_to(
-            cjp[None, :, None, :, None, None]
-            + np.arange(bs)[None, None, None, None, None, :],
-            (ne_i, ne_j, k, k, bs, bs))
-        patches = ref[:, jnp.asarray(ii), jnp.asarray(jj)]
-        # [C, ne_i, ne_j, K, K, bs, bs]
-        cur_c = cur[:, : ne_i * bs, : ne_j * bs].reshape(
-            c, ne_i, bs, ne_j, bs).transpose(0, 1, 3, 2, 4)
-        s_corner = _wrap_abs_diff(
-            patches, cur_c[:, :, :, None, None]).sum(
-            axis=(0, -2, -1), dtype=jnp.int32)          # [ne_i, ne_j, K, K]
-    else:
-        s_corner = jnp.zeros((ne_i, ne_j, k, k), jnp.int32)
+    # ---- absolute columns + corner families --------------------------------
+    s_abs_j = _family_abs_cols(cur, refp, plan) if ne_j else None
+    s_corner = _family_corner(cur, ref, plan)
 
     # ---- stitch families by block position ---------------------------------
     #   [ corner  | abs-rows ]      rows < ne_i
@@ -214,25 +242,19 @@ def static_sad(cur: jnp.ndarray, ref: jnp.ndarray, bs: int) -> jnp.ndarray:
     return _tile_sums(diff, bs)
 
 
-@functools.partial(jax.jit, static_argnames=("bs", "reach", "step",
-                                             "static_threshold"))
-def motion_search(cur: jnp.ndarray, ref: jnp.ndarray, *, bs: int = 8,
-                  reach: int = 16, step: int = 3,
-                  static_threshold: int = 2000) -> jnp.ndarray:
-    """Reference-exact motion vectors [nbh, nbw, 2] int32 as (dx, dy).
+def select_mvs(sad: jnp.ndarray, cur: jnp.ndarray, ref: jnp.ndarray,
+               plan: MotionSearchPlan, static_threshold: int) -> jnp.ndarray:
+    """Candidate SADs [nbh, nbw, K, K] -> motion vectors [nbh, nbw, 2].
 
-    `cur`, `ref`: int32 (uint8-valued) planar [C, H, W].
-    """
-    _, h, w = cur.shape
-    plan = make_plan(h, w, bs, reach, step)
+    Reproduces the reference's selection: validity masking, sentinel initial
+    best at (0,0) (motion.py:102,122), first-minimum-wins (strict <), and the
+    saturating static-block early out (motion.py:109-116)."""
+    bs = plan.bs
     nbh, nbw, k = plan.nbh, plan.nbw, plan.k
-
-    sad = sad_candidates(cur, ref, plan)                        # [nbh,nbw,K,K]
     valid = (jnp.asarray(plan.valid_i)[:, None, :, None]
              & jnp.asarray(plan.valid_j)[None, :, None, :])
     masked = jnp.where(valid, sad, _MASKED)
 
-    # Prepend the sentinel "initial best" (coordinate (0,0), motion.py:102).
     flat = masked.reshape(nbh, nbw, k * k)
     with_init = jnp.concatenate(
         [jnp.full((nbh, nbw, 1), _INIT_SENTINEL, jnp.int32), flat], axis=-1)
@@ -248,7 +270,6 @@ def motion_search(cur: jnp.ndarray, ref: jnp.ndarray, *, bs: int = 8,
     pi = jnp.where(hit, pos_i[bi, ki], 0)
     pj = jnp.where(hit, pos_j[bj, kj], 0)
 
-    # Static-block early out (ref: motion.py:109-116).
     stat = static_sad(cur, ref, bs) <= static_threshold
     ci = bi * bs
     cj = bj * bs
@@ -256,6 +277,51 @@ def motion_search(cur: jnp.ndarray, ref: jnp.ndarray, *, bs: int = 8,
     pj = jnp.where(stat, cj, pj)
 
     return jnp.stack([pj - cj, pi - ci], axis=-1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("bs", "reach", "step",
+                                             "static_threshold"))
+def motion_search(cur: jnp.ndarray, ref: jnp.ndarray, *, bs: int = 8,
+                  reach: int = 16, step: int = 3,
+                  static_threshold: int = 2000) -> jnp.ndarray:
+    """Reference-exact motion vectors [nbh, nbw, 2] int32 as (dx, dy).
+
+    `cur`, `ref`: int32 (uint8-valued) planar [C, H, W].
+    """
+    _, h, w = cur.shape
+    plan = make_plan(h, w, bs, reach, step)
+    sad = sad_candidates(cur, ref, plan)                        # [nbh,nbw,K,K]
+    return select_mvs(sad, cur, ref, plan, static_threshold)
+
+
+def use_pallas_default() -> bool:
+    """Pallas kernel on TPU; XLA families elsewhere (CPU tests)."""
+    return jax.default_backend() == "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("bs", "reach", "step",
+                                             "static_threshold", "backend"))
+def motion_search_batch(curs: jnp.ndarray, ref: jnp.ndarray, *, bs: int = 8,
+                        reach: int = 16, step: int = 3,
+                        static_threshold: int = 2000,
+                        backend: str = "auto") -> jnp.ndarray:
+    """Motion vectors for F frames sharing one reference (the GOP shape,
+    encoder.py:51): curs [F, C, H, W], ref [C, H, W] -> [F, nbh, nbw, 2].
+
+    backend: "pallas" | "xla" | "auto" (pallas on TPU)."""
+    _, _, h, w = curs.shape
+    plan = make_plan(h, w, bs, reach, step)
+    use_pallas = (backend == "pallas"
+                  or (backend == "auto" and use_pallas_default()))
+    if use_pallas:
+        from vcs_h264_tpu.ops.motion_pallas import sad_candidates_pallas_batch
+        sad = sad_candidates_pallas_batch(curs, ref, plan)
+        left = jax.vmap(lambda cc: sad_left_edge(cc, ref, plan))(curs)
+        sad = jnp.concatenate([left, sad[:, :, plan.n_edge_j:]], axis=2)
+    else:
+        sad = jax.vmap(lambda cc: sad_candidates(cc, ref, plan))(curs)
+    return jax.vmap(lambda s, cc: select_mvs(s, cc, ref, plan,
+                                             static_threshold))(sad, curs)
 
 
 @functools.partial(jax.jit, static_argnames=("bs",))
