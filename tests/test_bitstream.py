@@ -1,0 +1,89 @@
+"""Native + fallback entropy codec and the .vcs container."""
+
+import numpy as np
+import pytest
+
+from vcs_h264_tpu.io import bitstream as bs
+
+
+def test_native_lib_builds():
+    lib = bs.load_native()
+    assert lib is not None, "C++ bitstream library failed to build"
+
+
+@pytest.mark.parametrize("n", [0, 1, 7, 64, 1000])
+def test_rle_roundtrip(rng, n):
+    data = rng.integers(-300, 300, n).astype(np.int16)
+    data[rng.random(n) < 0.7] = 0 if n else 0
+    blob = bs.rle_encode(data)
+    back = bs.rle_decode(blob, n)
+    np.testing.assert_array_equal(back, data)
+
+
+def test_rle_all_zero(rng):
+    data = np.zeros(4096, np.int16)
+    blob = bs.rle_encode(data)
+    assert len(blob) <= 4            # one ue(4096) token
+    np.testing.assert_array_equal(bs.rle_decode(blob, 4096), data)
+
+
+def test_rle_extremes():
+    data = np.array([-32768, 32767, 0, 0, -1, 1], np.int16)
+    np.testing.assert_array_equal(
+        bs.rle_decode(bs.rle_encode(data), len(data)), data)
+
+
+def test_python_fallback_bit_identical(rng):
+    data = rng.integers(-50, 50, 500).astype(np.int16)
+    data[rng.random(500) < 0.8] = 0
+    native = bs.rle_encode(data)
+    py = bs._py_encode(data)
+    assert native == py
+    np.testing.assert_array_equal(bs._py_decode(native, 500), data)
+
+
+def test_compression_ratio_on_sparse(rng):
+    """Typical quantized-coefficient sparsity compresses well."""
+    data = rng.integers(-8, 8, 64 * 1000).astype(np.int16)
+    data[rng.random(64000) < 0.92] = 0
+    blob = bs.rle_encode(data)
+    assert len(blob) < 64000 * 2 * 0.25     # >4x vs raw int16
+
+
+def test_vcs_container_roundtrip(tmp_path, rng):
+    from vcs_h264_tpu.config import CodecConfig
+    from vcs_h264_tpu.models import Encoder, Decoder
+
+    frames = []
+    base = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    for t in range(8):
+        frames.append(np.roll(base, (t, 2 * t), axis=(0, 1)))
+
+    cfg = CodecConfig.production()     # rounded int16 coefficients
+    video = Encoder(cfg, gop_batch=2).encode_frames(frames)
+    path = str(tmp_path / "out.vcs")
+    bs.save_vcs(video, path)
+    loaded = bs.load_vcs(path)
+    assert loaded.config.quality_factor == cfg.quality_factor
+    assert loaded.num_frames == 8
+    got = Decoder().decode(loaded)
+    want = Decoder().decode(video)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_vcs_container_no_dct(tmp_path, rng):
+    from vcs_h264_tpu.config import CodecConfig
+    from vcs_h264_tpu.models import Encoder, Decoder
+
+    base = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    frames = [np.roll(base, (t, t), axis=(0, 1)) for t in range(5)]
+    cfg = CodecConfig(with_dct=False)
+    video = Encoder(cfg).encode_frames(frames)
+    path = str(tmp_path / "raw.vcs")
+    bs.save_vcs(video, path)
+    loaded = bs.load_vcs(path)
+    got = Decoder().decode(loaded)
+    # wrap-residual coding is lossless
+    for g, f in zip(got, frames):
+        np.testing.assert_array_equal(g, f)

@@ -1,0 +1,294 @@
+"""On-disk bitstream (.vcs container) with native entropy coding.
+
+The reference has no serialized bitstream at all (its encoded video is a list
+of Python objects, frame.py:1-8; persistence experiments are commented out,
+intraframe.py:379-382). This module provides one:
+
+  container = header | per-GOP sections
+  per GOP:   raw I-frame bytes (uint8 planar) |
+             entropy-coded MVs (int16 stream) |
+             entropy-coded quantized coefficients (int16 zigzag stream)
+
+Entropy coding is zero-run + signed exp-Golomb, implemented in C++
+(native/bitstream.cpp, loaded via ctypes) with a bit-identical pure-Python
+fallback, so the artifact is portable. Coefficients are zigzag-ordered per
+block before coding so zero runs are long (the coefficient-ordering utility
+the north star names; absent in the reference).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import struct
+import subprocess
+from typing import List, Optional
+
+import numpy as np
+
+from vcs_h264_tpu.config import CodecConfig
+from vcs_h264_tpu.models.gop import EncodedGOP, EncodedVideo
+from vcs_h264_tpu.ops.quant import zigzag_order_np
+
+_MAGIC = b"VCSH264T"
+_VERSION = 2
+
+# ---------------------------------------------------------------------------
+# native library loading (with build-on-demand) + python fallback
+
+
+_LIB: Optional[ctypes.CDLL] = None
+_LIB_TRIED = False
+
+
+def _native_dir() -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "native")
+
+
+def load_native() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the C++ codec; None if unavailable."""
+    global _LIB, _LIB_TRIED
+    if _LIB is not None or _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    so = os.path.join(_native_dir(), "libvcsbits.so")
+    try:
+        if not os.path.exists(so):
+            subprocess.run(["make", "-C", _native_dir()], check=True,
+                           capture_output=True)
+        lib = ctypes.CDLL(so)
+        lib.vcs_rle_encode_i16.restype = ctypes.c_int64
+        lib.vcs_rle_encode_i16.argtypes = [
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+        lib.vcs_rle_decode_i16.restype = ctypes.c_int64
+        lib.vcs_rle_decode_i16.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int64]
+        _LIB = lib
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+# ---- pure-python fallback (bit-identical format) ---------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits: List[int] = []
+
+    def ue(self, v: int):
+        x = v + 1
+        nbits = x.bit_length() - 1
+        self.bits.extend([0] * nbits)
+        for i in range(nbits, -1, -1):
+            self.bits.append((x >> i) & 1)
+
+    def se(self, v: int):
+        self.ue(-2 * v if v <= 0 else 2 * v - 1)
+
+    def tobytes(self) -> bytes:
+        bits = self.bits
+        out = bytearray((len(bits) + 7) // 8)
+        for i, b in enumerate(bits):
+            if b:
+                out[i >> 3] |= 0x80 >> (i & 7)
+        return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def _bit(self) -> int:
+        i = self.pos
+        self.pos += 1
+        return (self.data[i >> 3] >> (7 - (i & 7))) & 1
+
+    def ue(self) -> int:
+        zeros = 0
+        while self._bit() == 0:
+            zeros += 1
+        x = 1
+        for _ in range(zeros):
+            x = (x << 1) | self._bit()
+        return x - 1
+
+    def se(self) -> int:
+        m = self.ue()
+        return (m + 1) // 2 if m & 1 else -(m // 2)
+
+
+def _py_encode(data: np.ndarray) -> bytes:
+    w = _BitWriter()
+    n = len(data)
+    i = 0
+    if n == 0:
+        w.ue(0)
+        return w.tobytes()
+    while i < n:
+        run = 0
+        while i + run < n and data[i + run] == 0:
+            run += 1
+        if i + run >= n:
+            w.ue(run)
+            break
+        w.ue(run)
+        w.se(int(data[i + run]))
+        i += run + 1
+        if i >= n:
+            w.ue(0)
+    return w.tobytes()
+
+
+def _py_decode(blob: bytes, n: int) -> np.ndarray:
+    r = _BitReader(blob)
+    out = np.zeros(n, np.int16)
+    i = 0
+    while i < n:
+        run = r.ue()
+        i += min(run, n - i)
+        if i >= n:
+            break
+        out[i] = r.se()
+        i += 1
+    return out
+
+
+def rle_encode(data: np.ndarray) -> bytes:
+    """int16 array -> entropy-coded bytes."""
+    data = np.ascontiguousarray(data, dtype=np.int16).ravel()
+    lib = load_native()
+    if lib is None:
+        return _py_encode(data)
+    cap = 8 * len(data) + 16
+    out = np.empty(cap, np.uint8)
+    nbytes = lib.vcs_rle_encode_i16(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if nbytes < 0:
+        raise ValueError("bitstream encode overflow")
+    return out[:nbytes].tobytes()
+
+
+def rle_decode(blob: bytes, n: int) -> np.ndarray:
+    """entropy-coded bytes -> int16 array of length n."""
+    lib = load_native()
+    if lib is None:
+        return _py_decode(blob, n)
+    inp = np.frombuffer(blob, np.uint8)
+    out = np.empty(n, np.int16)
+    got = lib.vcs_rle_decode_i16(
+        inp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(inp),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n)
+    if got != n:
+        raise ValueError(f"bitstream decode error: {got} != {n}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# .vcs container
+
+
+def _zigzag_plane(coeffs: np.ndarray, bs: int) -> np.ndarray:
+    """[..., H, W] int16 -> flat zigzag-per-block int16."""
+    *lead, h, w = coeffs.shape
+    order = zigzag_order_np(bs)
+    x = coeffs.reshape(*lead, h // bs, bs, w // bs, bs)
+    x = np.moveaxis(x, -3, -2).reshape(*lead, h // bs, w // bs, bs * bs)
+    return x[..., order].ravel()
+
+
+def _unzigzag_plane(flat: np.ndarray, shape, bs: int) -> np.ndarray:
+    *lead, h, w = shape
+    order = zigzag_order_np(bs)
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order), dtype=order.dtype)
+    x = flat.reshape(*lead, h // bs, w // bs, bs * bs)[..., inv]
+    x = x.reshape(*lead, h // bs, w // bs, bs, bs)
+    x = np.moveaxis(x, -2, -3)
+    return x.reshape(*lead, h, w)
+
+
+def save_vcs(video: EncodedVideo, path: str) -> None:
+    """Serialize an EncodedVideo (quant_mode='rounded' for real compression;
+    'reference'-mode float residuals are quantize-rounded on write)."""
+    cfg = video.config
+    bs = cfg.block_size
+    with open(path, "wb") as fh:
+        fh.write(_MAGIC)
+        fh.write(struct.pack(
+            "<IIIdIIdII", _VERSION, video.height, video.width, video.fps,
+            video.num_frames, bs, cfg.quality_factor, len(video.gops),
+            (2 if cfg.with_dct else (1 if cfg.with_residual else 0))))
+        pat = ",".join(cfg.gop_pattern).encode()
+        fh.write(struct.pack("<I", len(pat)))
+        fh.write(pat)
+        for gop in video.gops:
+            i_frame = np.asarray(gop.i_frame, dtype=np.uint8)
+            mv = np.asarray(gop.mv, dtype=np.int16)
+            fh.write(struct.pack("<III", *i_frame.shape))
+            fh.write(i_frame.tobytes())
+            fh.write(struct.pack("<I", mv.shape[0]))
+            mv_blob = rle_encode(mv.ravel())
+            fh.write(struct.pack("<Q", len(mv_blob)))
+            fh.write(mv_blob)
+            if gop.residuals is None:
+                fh.write(struct.pack("<Q", 0))
+                continue
+            res = np.asarray(gop.residuals)
+            if cfg.with_dct:
+                res16 = np.round(res).astype(np.int16)
+                blob = rle_encode(_zigzag_plane(res16, bs))
+            else:
+                # wrap residuals are bytes; recenter to int16 around 0 for
+                # short codes (values cluster at 0 and 255)
+                res16 = res.astype(np.int16)
+                res16 = np.where(res16 > 127, res16 - 256, res16).astype(np.int16)
+                blob = rle_encode(res16.ravel())
+            fh.write(struct.pack("<Q", len(blob)))
+            fh.write(blob)
+
+
+def load_vcs(path: str) -> EncodedVideo:
+    with open(path, "rb") as fh:
+        if fh.read(8) != _MAGIC:
+            raise ValueError("not a .vcs file")
+        (version, h, w, fps, num_frames, bs, qf, n_gops,
+         mode) = struct.unpack("<IIIdIIdII", fh.read(44))
+        if version != _VERSION:
+            raise ValueError(f"unsupported version {version}")
+        (pat_len,) = struct.unpack("<I", fh.read(4))
+        pattern = tuple(fh.read(pat_len).decode().split(","))
+        cfg = CodecConfig(block_size=bs, gop_pattern=pattern,
+                          quality_factor=qf,
+                          with_dct=(mode == 2), with_residual=(mode >= 1),
+                          quant_mode="rounded" if mode == 2 else "reference")
+        gops = []
+        for _ in range(n_gops):
+            c, ih, iw = struct.unpack("<III", fh.read(12))
+            i_frame = np.frombuffer(fh.read(c * ih * iw), np.uint8)
+            i_frame = i_frame.reshape(c, ih, iw).astype(np.int32)
+            (n_p,) = struct.unpack("<I", fh.read(4))
+            (mv_len,) = struct.unpack("<Q", fh.read(8))
+            nbh, nbw = ih // bs, iw // bs
+            mv = rle_decode(fh.read(mv_len), n_p * nbh * nbw * 2)
+            mv = mv.reshape(n_p, nbh, nbw, 2).astype(np.int32)
+            (blob_len,) = struct.unpack("<Q", fh.read(8))
+            if blob_len == 0:
+                res = None
+            else:
+                blob = fh.read(blob_len)
+                if mode == 2:
+                    flat = rle_decode(blob, n_p * c * ih * iw)
+                    res = _unzigzag_plane(flat, (n_p, c, ih, iw), bs)
+                    res = res.astype(np.int16)
+                else:
+                    flat = rle_decode(blob, n_p * c * ih * iw).astype(np.int32)
+                    res = (flat & 255).reshape(n_p, c, ih, iw)
+            gops.append(EncodedGOP(i_frame=i_frame, mv=mv, residuals=res))
+    return EncodedVideo(config=cfg, height=h, width=w, fps=fps,
+                        num_frames=num_frames, gops=gops)

@@ -129,3 +129,79 @@ def sad_candidates_pallas(cur: jnp.ndarray, ref: jnp.ndarray,
                           plan: MotionSearchPlan) -> jnp.ndarray:
     """Single-frame convenience wrapper: [nbh, nbw, K, K]."""
     return sad_candidates_pallas_batch(cur[None], ref, plan)[0]
+
+
+def _sad_kernel_gops(imin_ref, cur_ref, phase_ref, sel_ref, out_ref, acc_ref,
+                     *, k, step, reach, bs, w, c, f, pad):
+    """Multi-GOP variant: same as _sad_kernel, but the leading grid axis
+    selects the GOP (its own reference phases + its P-frames)."""
+    cur = cur_ref[0]                                 # [F, C, bs, W]
+    ref_rows = phase_ref[0, 0]                       # [C, bs, Wp]
+    for kj in range(k):
+        off = pad + step * kj - reach
+        seg = jax.lax.slice(ref_rows, (0, 0, off), (c, bs, off + w))
+        diff = (seg[None] - cur) & 255               # [F, C, bs, W] wrap
+        acc_ref[kj] = diff.sum(axis=(1, 2)).astype(jnp.float32)
+    acc = acc_ref[...].reshape(k * f, w)
+    out_ref[0, 0, 0] = jax.lax.dot_general(
+        acc, sel_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+
+
+def sad_candidates_pallas_gops(curs: jnp.ndarray, refs: jnp.ndarray,
+                               plan: MotionSearchPlan) -> jnp.ndarray:
+    """GOP-batched SAD sweep: curs [B, F, C, H, W] vs refs [B, C, H, W]
+    -> [B, F, nbh, nbw, K, K] int32. The GOP axis is a grid dimension
+    (vmap-free: the dev tunnel's remote compiler stalls on vmapped
+    pallas_call programs)."""
+    bs, reach, step, k = plan.bs, plan.reach, plan.step, plan.k
+    h, w, nbh, nbw = plan.h, plan.w, plan.nbh, plan.nbw
+    b, f, c = curs.shape[0], curs.shape[1], curs.shape[2]
+    pad = reach + bs
+
+    curs32 = curs.astype(jnp.int32)
+    max_row = (h - bs - reach) + step * (k - 1)
+    row_pad = max(0, max_row + bs - h) + 2 * bs
+    refp = jnp.pad(refs.astype(jnp.int32),
+                   ((0, 0), (0, 0), (0, row_pad), (pad, pad)))
+    hrows = ((refp.shape[2] - bs) // bs) * bs
+    wp = w + 2 * pad
+    phases = jnp.stack([jax.lax.slice(refp, (0, 0, q, 0),
+                                      (b, c, q + hrows, wp))
+                        for q in range(bs)], axis=1)   # [B, bs, C, Hrows, Wp]
+
+    i_min = jnp.asarray(plan.pos_i[:, 0], jnp.int32)
+    sel = jnp.asarray(_sel_np(w, bs))
+
+    kernel = functools.partial(_sad_kernel_gops, k=k, step=step, reach=reach,
+                               bs=bs, w=w, c=c, f=f, pad=pad)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nbh, k),
+        in_specs=[
+            pl.BlockSpec((1, f, c, bs, w),
+                         lambda g, bi, ki, im: (g, 0, 0, bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c, bs, wp),
+                         lambda g, bi, ki, im: (g, (step * ki) % bs, 0,
+                                                (im[bi] + step * ki
+                                                 - (step * ki) % bs) // bs, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, nbw), lambda g, bi, ki, im: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, k * f, nbw),
+                               lambda g, bi, ki, im: (g, bi, ki, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((k, f, w), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nbh, k, k * f, nbw), jnp.int32),
+    )(i_min, curs32, phases, sel)
+    # [B, nbh, K(ki), K(kj)*F, nbw] -> [B, F, nbh, nbw, K(ki), K(kj)]
+    out = out.reshape(b, nbh, k, k, f, nbw)
+    return out.transpose(0, 4, 1, 5, 2, 3)
