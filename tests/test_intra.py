@@ -92,3 +92,32 @@ def test_intra_residual_lossless(rng):
     y = _plane(rng, 32, 32)
     res, pred, _ = intra.luma4x4(jnp.asarray(y, jnp.int32))
     np.testing.assert_array_equal(np.asarray(res + pred), y)
+
+
+def test_intra_wavefront_decode_lossless(rng):
+    """decode(residual, modes) == source, using only decoder-visible data."""
+    y = _plane(rng, 32, 48)
+    res, modes, escape = intra.luma4x4_codec(jnp.asarray(y, jnp.int32))
+    recon = np.asarray(intra.intra_decode4x4(res, modes, escape))
+    np.testing.assert_array_equal(recon, y)
+
+
+def test_intra_wavefront_decode_real_image():
+    import cv2
+    img = cv2.imread("/root/reference/images/happy-corgi.jpg")
+    if img is None:
+        pytest.skip("image unavailable")
+    y = cv2.cvtColor(img, cv2.COLOR_BGR2YCR_CB)[..., 0][:96, :128]
+    res, modes, escape = intra.luma4x4_codec(jnp.asarray(y, jnp.int32))
+    recon = np.asarray(intra.intra_decode4x4(res, modes, escape))
+    np.testing.assert_array_equal(recon, y)
+
+
+def test_luma4x4_codec_consistent_with_study(rng):
+    """codec variant's residual/modes match the parity-mode function."""
+    y = _plane(rng, 32, 32)
+    res1, _, modes1 = intra.luma4x4(jnp.asarray(y, jnp.int32))
+    res2, modes2, escape = intra.luma4x4_codec(jnp.asarray(y, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(res1), np.asarray(res2))
+    np.testing.assert_array_equal(np.asarray(modes1), np.asarray(modes2))
+    assert not np.asarray(escape).any()     # natural images never escape

@@ -227,22 +227,7 @@ def luma4x4(y: jnp.ndarray):
     y: int32 [H, W] (uint8 values), H, W multiples of 4.
     Returns (residual [H,W] int32, prediction [H,W] int32, modes [nbh,nbw])."""
     h, w = y.shape
-    bs = 4
-    nbh, nbw = h // bs, w // bs
-    u, l, ul, ur, (a_u, a_l, a_ul, a_ur) = _neighbors(y, bs)
-    block = y.reshape(nbh, bs, nbw, bs).transpose(0, 2, 1, 3)
-
-    preds = jnp.stack([
-        pred_vertical(u),                         # mode 0
-        pred_horizontal(l),                       # mode 1
-        pred_dc4(u, l, a_u & a_l),                # mode 2
-        pred_downleft(u, ur, a_ur),               # mode 3
-        pred_downright(ul, u, l),                 # mode 4
-        pred_verticalright(ul, u, l),             # mode 5
-        pred_horizontaldown(ul, u, l),            # mode 6
-        pred_verticalleft(u, ur),                 # mode 7
-        pred_horizontalup(l, a_l),                # mode 8
-    ])
+    preds, block = _luma4x4_preds(y)
     pred, modes, _ = _select_best(block, preds, 16 * 255)
     res = block - pred
     to_plane = lambda b: b.transpose(0, 2, 1, 3).reshape(h, w)
@@ -279,6 +264,75 @@ def luma16x16(y: jnp.ndarray):
     res = block - pred
     to_plane = lambda b: b.transpose(0, 2, 1, 3).reshape(h, w)
     return to_plane(res), to_plane(pred), modes
+
+
+def _luma4x4_preds(y: jnp.ndarray):
+    h, w = y.shape
+    bs = 4
+    nbh, nbw = h // bs, w // bs
+    u, l, ul, ur, (a_u, a_l, a_ul, a_ur) = _neighbors(y, bs)
+    preds = jnp.stack([
+        pred_vertical(u),
+        pred_horizontal(l),
+        pred_dc4(u, l, a_u & a_l),
+        pred_downleft(u, ur, a_ur),
+        pred_downright(ul, u, l),
+        pred_verticalright(ul, u, l),
+        pred_horizontaldown(ul, u, l),
+        pred_verticalleft(u, ur),
+        pred_horizontalup(l, a_l),
+    ])
+    block = y.reshape(nbh, bs, nbw, bs).transpose(0, 2, 1, 3)
+    return preds, block
+
+
+@functools.partial(jax.jit)
+def luma4x4_codec(y: jnp.ndarray):
+    """Codec-facing variant of luma4x4: returns (residual, modes, escape).
+
+    `escape` marks blocks where no mode beat the reference's initial
+    bestdiff (16*255) and the zero prediction was kept (intraframe.py:79-81)
+    — the stored mode 0 is ambiguous there, so the decoder needs the flag."""
+    h, w = y.shape
+    preds, block = _luma4x4_preds(y)
+    pred, modes, diffs = _select_best(block, preds, 16 * 255)
+    escape = jnp.all(diffs >= 16 * 255, axis=0)
+    res = block - pred
+    to_plane = lambda b: b.transpose(0, 2, 1, 3).reshape(h, w)
+    return to_plane(res), modes, escape
+
+
+@functools.partial(jax.jit)
+def intra_decode4x4(residual: jnp.ndarray, modes: jnp.ndarray,
+                    escape: jnp.ndarray) -> jnp.ndarray:
+    """Wavefront intra decoder (new capability — the reference has no intra
+    decoder at all; its study only plots pred+residual).
+
+    Because the encoder predicts from *original* neighbors and the residual
+    is exact, reconstructing in dependency order reproduces the source
+    bit-exactly: a block's neighbors (up-left, up, up-right, left) all have
+    strictly smaller wavefront key 2*bi + bj, so blocks on the same key
+    update in parallel. Runs in 2*nbh + nbw - 2 lax.fori_loop steps of
+    batched predictor evaluation."""
+    h, w = residual.shape
+    bs = 4
+    nbh, nbw = h // bs, w // bs
+    res_blocks = residual.reshape(nbh, bs, nbw, bs).transpose(0, 2, 1, 3)
+    key = 2 * jnp.arange(nbh)[:, None] + jnp.arange(nbw)[None, :]
+
+    def body(t, recon):
+        preds, _ = _luma4x4_preds(recon)
+        pred = jnp.take_along_axis(
+            jnp.where(escape[None, ..., None, None], 0, preds),
+            modes[None, ..., None, None], axis=0)[0]    # [nbh,nbw,4,4]
+        block = pred + res_blocks
+        sel = (key == t)[..., None, None]
+        cur = recon.reshape(nbh, bs, nbw, bs).transpose(0, 2, 1, 3)
+        new = jnp.where(sel, block, cur)
+        return new.transpose(0, 2, 1, 3).reshape(h, w)
+
+    recon0 = jnp.zeros((h, w), residual.dtype)
+    return jax.lax.fori_loop(0, 2 * (nbh - 1) + nbw, body, recon0)
 
 
 @functools.partial(jax.jit)
