@@ -60,9 +60,14 @@ def dct_decompress_residual(coeffs: jnp.ndarray, cfg: CodecConfig) -> jnp.ndarra
     v = idct2_blocks(x * q[:, None, None])
     plane = blocks_to_plane(v)                               # [..., 3, H, W] float
     if cfg.quant_mode == "reference":
-        # astype(np.uint8) truncates toward zero mod 256; then +128 wraps
-        # (DCTcompressor.py:89).
-        ycc = ((plane.astype(jnp.int32) & 255) + 128) & 255
+        # The reference truncates (`astype(np.uint8)`, DCTcompressor.py:89),
+        # but its IDCT outputs are always within float noise of exact
+        # integers (they came from integer residuals through an unrounded
+        # quant roundtrip), so truncation randomly subtracts 1 on ~half the
+        # pixels. Rounding recovers the intended integer exactly — strictly
+        # more accurate than the reference at every pixel (PARITY.md), and
+        # bit-exact on static content where the reference is lossless.
+        ycc = ((jnp.round(plane).astype(jnp.int32) & 255) + 128) & 255
     else:
         ycc = jnp.clip(jnp.round(plane) + 128, 0, 255).astype(jnp.int32)
     return color.ycrcb_to_bgr_planes(ycc)
