@@ -5,11 +5,19 @@ accumulates Python lists. This encoder ingests frames, groups them into GOPs
 (dispatch rule `frame_num % gop_len == 0 -> I`, encoder.py:25), batches GOPs,
 and runs the jitted device pipeline — one device program per GOP batch
 instead of ~10^4 Python-loop iterations per frame.
+
+Adds the subsystems the reference lacks (SURVEY.md §5):
+  * per-GOP checkpointing: with `checkpoint_dir`, every encoded GOP is
+    persisted immediately and already-persisted GOPs are skipped on re-run,
+    so a failed job re-encodes only its missing GOPs;
+  * structured metrics: frames/s, static-block ratio and the
+    nonzero-coefficient bits proxy per GOP, logged as JSONL.
 """
 
 from __future__ import annotations
 
-from typing import Iterable, List, Optional
+import os
+from typing import List, Optional
 
 import numpy as np
 import jax.numpy as jnp
@@ -20,75 +28,127 @@ from vcs_h264_tpu.models import pipeline
 from vcs_h264_tpu.io.video import group_into_gops
 
 
+def _save_gop_npz(path: str, gop: EncodedGOP, with_dct: bool) -> None:
+    res = None if gop.residuals is None else np.asarray(gop.residuals)
+    if res is not None and not with_dct:
+        res = res.astype(np.uint8)
+    np.savez_compressed(path, i=np.asarray(gop.i_frame, np.uint8),
+                        mv=np.asarray(gop.mv, np.int8),
+                        **({} if res is None else {"res": res}))
+
+
+def _load_gop_npz(path: str) -> EncodedGOP:
+    data = np.load(path)
+    return EncodedGOP(i_frame=data["i"].astype(np.int32),
+                      mv=data["mv"].astype(np.int32),
+                      residuals=data["res"] if "res" in data else None)
+
+
 class Encoder:
     def __init__(self, cfg: CodecConfig = CodecConfig(),
-                 gop_batch: int = 8):
+                 gop_batch: int = 8, metrics=None):
         self.cfg = cfg
         self.gop_batch = gop_batch
+        self.metrics = metrics          # utils.metrics.MetricsLogger or None
 
-    def encode_frames(self, frames: List[np.ndarray], fps: float = 25.0
-                      ) -> EncodedVideo:
-        """Encode a list of BGR uint8 frames (all same shape, block-multiple
-        dims) into an EncodedVideo."""
+    def encode_frames(self, frames: List[np.ndarray], fps: float = 25.0,
+                      checkpoint_dir: Optional[str] = None) -> EncodedVideo:
+        """Encode BGR uint8 frames (same shape, block-multiple dims)."""
         if not frames:
             raise ValueError("no frames to encode")
+        import time
+        t_start = time.perf_counter()
         h, w, _ = frames[0].shape
         cfg = self.cfg
         gop_len = cfg.gop_len
         grouped = group_into_gops(frames, gop_len)
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
 
-        # Full-size GOPs run batched; ragged tails run per-GOP (one extra
-        # compile per distinct tail size).
-        full = [(i, p) for i, p in grouped if p.shape[0] == gop_len - 1]
-        tail = [(i, p) for i, p in grouped if p.shape[0] != gop_len - 1]
+        def ckpt_path(idx: int) -> Optional[str]:
+            return (os.path.join(checkpoint_dir, f"gop_{idx:06d}.npz")
+                    if checkpoint_dir else None)
 
-        encoded: List[EncodedGOP] = []
+        encoded: List[Optional[EncodedGOP]] = [None] * len(grouped)
+        pending = []
+        for idx, (i_f, p_f) in enumerate(grouped):
+            path = ckpt_path(idx)
+            if path and os.path.exists(path):
+                encoded[idx] = _load_gop_npz(path)
+            else:
+                pending.append(idx)
+
+        full = [i for i in pending if grouped[i][1].shape[0] == gop_len - 1]
+        tail = [i for i in pending if grouped[i][1].shape[0] != gop_len - 1]
+
         enc_batch = pipeline.jit_encode_gop_batch(cfg)
         for start in range(0, len(full), self.gop_batch):
-            chunk = full[start:start + self.gop_batch]
+            idxs = full[start:start + self.gop_batch]
             i_b = jnp.asarray(
-                np.stack([i for i, _ in chunk]).transpose(0, 3, 1, 2),
+                np.stack([grouped[i][0] for i in idxs]).transpose(0, 3, 1, 2),
                 jnp.int32)
             p_b = jnp.asarray(
-                np.stack([p for _, p in chunk]).transpose(0, 1, 4, 2, 3),
-                jnp.int32)
+                np.stack([grouped[i][1] for i in idxs])
+                .transpose(0, 1, 4, 2, 3), jnp.int32)
             out = enc_batch(i_b, p_b)
-            for bi in range(len(chunk)):
-                encoded.append(EncodedGOP(
+            for bi, idx in enumerate(idxs):
+                gop = EncodedGOP(
                     i_frame=out.i_frame[bi], mv=out.mv[bi],
                     residuals=None if out.residuals is None
-                    else out.residuals[bi]))
+                    else out.residuals[bi])
+                encoded[idx] = gop
+                self._log_gop(idx, gop)
+                if checkpoint_dir:
+                    _save_gop_npz(ckpt_path(idx), gop, cfg.with_dct)
+
         enc_one = pipeline.jit_encode_gop(cfg)
-        for i_f, p_f in tail:
+        for idx in tail:
+            i_f, p_f = grouped[idx]
             i_pl = jnp.asarray(i_f.transpose(2, 0, 1), jnp.int32)
             if p_f.shape[0] == 0:
-                encoded.append(EncodedGOP(
+                gop = EncodedGOP(
                     i_frame=i_pl,
                     mv=jnp.zeros((0, h // cfg.block_size,
                                   w // cfg.block_size, 2), jnp.int32),
-                    residuals=None))
+                    residuals=None)
             else:
-                encoded.append(enc_one(
-                    i_pl, jnp.asarray(p_f.transpose(0, 3, 1, 2), jnp.int32)))
+                gop = enc_one(i_pl,
+                              jnp.asarray(p_f.transpose(0, 3, 1, 2), jnp.int32))
+            encoded[idx] = gop
+            self._log_gop(idx, gop)
+            if checkpoint_dir:
+                _save_gop_npz(ckpt_path(idx), gop, cfg.with_dct)
 
-        # Re-interleave into stream order (full GOPs were appended first,
-        # then tails).
-        merged: List[EncodedGOP] = []
-        fi = 0
-        ti = len(full)
-        for _, p in grouped:
-            if p.shape[0] == gop_len - 1:
-                merged.append(encoded[fi]); fi += 1
-            else:
-                merged.append(encoded[ti]); ti += 1
+        video = EncodedVideo(config=cfg, height=h, width=w, fps=fps,
+                             num_frames=len(frames), gops=encoded)
+        if self.metrics:
+            dt = time.perf_counter() - t_start
+            self.metrics.log("encode_summary", frames=len(frames),
+                             seconds=dt, fps=len(frames) / dt,
+                             gops=len(encoded))
+        return video
 
-        return EncodedVideo(config=cfg, height=h, width=w, fps=fps,
-                            num_frames=len(frames), gops=merged)
+    def _log_gop(self, idx: int, gop: EncodedGOP) -> None:
+        if not self.metrics:
+            return
+        from vcs_h264_tpu.ops.motion import num_static_blocks
+        mv = np.asarray(gop.mv)
+        n_blocks = max(1, mv.shape[0] * mv.shape[1] * mv.shape[2]) \
+            if mv.ndim >= 3 else 1
+        static = int(np.sum(np.all(mv == 0, axis=-1))) if mv.size else 0
+        rec = {"gop": idx, "static_block_ratio": static / n_blocks}
+        if gop.residuals is not None:
+            res = np.asarray(gop.residuals)
+            if self.cfg.with_dct:
+                nz = int(np.count_nonzero(np.round(res)))
+                rec["nonzero_coeff_ratio"] = nz / res.size   # bits proxy
+        self.metrics.log("gop", **rec)
 
-    def encode_video(self, path: str, max_frames: Optional[int] = None
-                     ) -> EncodedVideo:
+    def encode_video(self, path: str, max_frames: Optional[int] = None,
+                     checkpoint_dir: Optional[str] = None) -> EncodedVideo:
         from vcs_h264_tpu.io.video import VideoReader
         reader = VideoReader(path, block_multiple=self.cfg.block_size,
                              max_frames=max_frames)
         frames = reader.read_all()
-        return self.encode_frames(frames, fps=reader.fps)
+        return self.encode_frames(frames, fps=reader.fps,
+                                  checkpoint_dir=checkpoint_dir)
