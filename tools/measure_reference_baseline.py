@@ -76,6 +76,7 @@ def main():
     t_dec = time.perf_counter() - t0
 
     psnrs = [psnr(r, f) for r, f in zip(recon, frames)]
+    capped = [min(p_, 99.0) for p_ in psnrs]     # cap lossless frames
     result = {
         "video": VIDEO,
         "width": w, "height": h, "n_frames": len(frames),
@@ -84,6 +85,9 @@ def main():
         "decode_fps": len(frames) / t_dec,
         "end_to_end_fps": len(frames) / (t_enc + t_dec),
         "mean_psnr_db": float(np.mean(psnrs)),
+        "mean_psnr_capped99_db": float(np.mean(capped)),
+        "per_frame_psnr_db": [round(float(p_), 4) if np.isfinite(p_)
+                              else None for p_ in psnrs],
         "hardware": "1 CPU core (python reference)",
     }
     print(json.dumps(result, indent=2))

@@ -79,6 +79,12 @@ def _search_gop(p_frames, i_frame, cfg: CodecConfig):
         step=cfg.search_step, static_threshold=cfg.static_threshold)
 
 
+def _search_gops(p_b, i_b, cfg: CodecConfig):
+    return motion.motion_search_gops(
+        p_b, i_b, bs=cfg.block_size, reach=cfg.search_reach,
+        step=cfg.search_step, static_threshold=cfg.static_threshold)
+
+
 def encode_gop(i_frame: jnp.ndarray, p_frames: jnp.ndarray,
                cfg: CodecConfig) -> EncodedGOP:
     """Encode one GOP. i_frame int32 planar [3, H, W]; p_frames [P, 3, H, W].
@@ -116,10 +122,25 @@ def decode_gop(gop: EncodedGOP, cfg: CodecConfig) -> jnp.ndarray:
 
 
 # Batched-over-GOPs variants: the TPU-efficient entry points. Leading axis is
-# the GOP batch (the data-parallel shard axis in parallel/).
+# the GOP batch (the data-parallel shard axis in parallel/). The motion
+# search runs GOP-batched through the pallas grid (never vmapped); the rest
+# of the pipeline vmaps normally.
 def encode_gop_batch(i_frames, p_frames, cfg: CodecConfig) -> EncodedGOP:
     """i_frames [B, 3, H, W]; p_frames [B, P, 3, H, W] (planar)."""
-    return jax.vmap(lambda i, p: encode_gop(i, p, cfg))(i_frames, p_frames)
+    mv = _search_gops(p_frames, i_frames, cfg)          # [B, P, nbh, nbw, 2]
+    if not cfg.with_residual:
+        return EncodedGOP(i_frame=i_frames, mv=mv, residuals=None)
+
+    def finish(i_frame, p_f, m):
+        recon = jax.vmap(lambda mm: motion.motion_compensate(
+            mm, i_frame, cfg.block_size))(m)
+        resid = motion.residuals_wrap(p_f, recon)
+        if cfg.with_dct:
+            resid = dct_compress_residual(resid, cfg)
+        return resid
+
+    resid = jax.vmap(finish)(i_frames, p_frames, mv)
+    return EncodedGOP(i_frame=i_frames, mv=mv, residuals=resid)
 
 
 def decode_gop_batch(gop: EncodedGOP, cfg: CodecConfig) -> jnp.ndarray:

@@ -309,19 +309,38 @@ def motion_search_batch(curs: jnp.ndarray, ref: jnp.ndarray, *, bs: int = 8,
     encoder.py:51): curs [F, C, H, W], ref [C, H, W] -> [F, nbh, nbw, 2].
 
     backend: "pallas" | "xla" | "auto" (pallas on TPU)."""
-    _, _, h, w = curs.shape
+    return motion_search_gops(curs[None], ref[None], bs=bs, reach=reach,
+                              step=step, static_threshold=static_threshold,
+                              backend=backend)[0]
+
+
+@functools.partial(jax.jit, static_argnames=("bs", "reach", "step",
+                                             "static_threshold", "backend"))
+def motion_search_gops(curs: jnp.ndarray, refs: jnp.ndarray, *, bs: int = 8,
+                       reach: int = 16, step: int = 3,
+                       static_threshold: int = 2000,
+                       backend: str = "auto") -> jnp.ndarray:
+    """GOP-batched search: curs [B, F, C, H, W] vs refs [B, C, H, W]
+    -> [B, F, nbh, nbw, 2].
+
+    The pallas path puts the GOP axis in the kernel grid rather than vmapping
+    the kernel (vmapped pallas_call programs stall this dev environment's
+    remote pipeline, and a grid axis is cheaper anyway)."""
+    b, f, _, h, w = curs.shape
     plan = make_plan(h, w, bs, reach, step)
     use_pallas = (backend == "pallas"
                   or (backend == "auto" and use_pallas_default()))
     if use_pallas:
-        from vcs_h264_tpu.ops.motion_pallas import sad_candidates_pallas_batch
-        sad = sad_candidates_pallas_batch(curs, ref, plan)
-        left = jax.vmap(lambda cc: sad_left_edge(cc, ref, plan))(curs)
-        sad = jnp.concatenate([left, sad[:, :, plan.n_edge_j:]], axis=2)
+        from vcs_h264_tpu.ops.motion_pallas import sad_candidates_pallas_gops
+        sad = sad_candidates_pallas_gops(curs, refs, plan)   # [B,F,...]
+        left = jax.vmap(jax.vmap(sad_left_edge, in_axes=(0, None, None)),
+                        in_axes=(0, 0, None))(curs, refs, plan)
+        sad = jnp.concatenate([left, sad[:, :, :, plan.n_edge_j:]], axis=3)
     else:
-        sad = jax.vmap(lambda cc: sad_candidates(cc, ref, plan))(curs)
-    return jax.vmap(lambda s, cc: select_mvs(s, cc, ref, plan,
-                                             static_threshold))(sad, curs)
+        sad = jax.vmap(jax.vmap(sad_candidates, in_axes=(0, None, None)),
+                       in_axes=(0, 0, None))(curs, refs, plan)
+    select = lambda s, cc, rr: select_mvs(s, cc, rr, plan, static_threshold)
+    return jax.vmap(jax.vmap(select, in_axes=(0, 0, None)))(sad, curs, refs)
 
 
 @functools.partial(jax.jit, static_argnames=("bs",))
