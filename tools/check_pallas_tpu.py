@@ -1,0 +1,32 @@
+"""Hardware check: Pallas SAD kernel vs XLA families on the real TPU.
+
+The CPU test suite runs the kernel in interpret mode; this script asserts
+bit-exactness of the compiled Mosaic kernel on device (it once differed: the
+MXU's default bf16 single-pass matmul silently corrupted integer SADs, see
+ops/motion_pallas.py).
+
+Run: python tools/check_pallas_tpu.py
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vcs_h264_tpu.ops import motion as M
+
+
+def main():
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    rng = np.random.default_rng(7)
+    for (b, f, h, w) in [(1, 1, 64, 64), (2, 3, 360, 640)]:
+        curs = jnp.asarray(rng.integers(0, 256, (b, f, 3, h, w)), jnp.int32)
+        refs = jnp.asarray(rng.integers(0, 256, (b, 3, h, w)), jnp.int32)
+        mv_p = np.asarray(M.motion_search_gops(curs, refs, backend="pallas"))
+        mv_x = np.asarray(M.motion_search_gops(curs, refs, backend="xla"))
+        assert np.array_equal(mv_p, mv_x), f"mismatch at {b}x{f}x{h}x{w}"
+        print(f"ok {b}x{f} {h}x{w}")
+    print("pallas kernel bit-exact on TPU")
+
+
+if __name__ == "__main__":
+    main()

@@ -127,6 +127,60 @@ def cmd_intra(args):
         print(f"wrote prediction image -> {args.output}")
 
 
+def cmd_dct_study(args):
+    """The DCT study (ref: DCTCompression/dct.py completeDCT): blockwise
+    DCT + rounded quantization of an image, sparsity + PSNR report."""
+    import cv2
+    import jax.numpy as jnp
+    from vcs_h264_tpu.ops import dct as dct_ops
+    from vcs_h264_tpu.ops import quant as quant_ops
+    from vcs_h264_tpu.ops import blocks as blk
+    from vcs_h264_tpu.ops import color
+    from vcs_h264_tpu.utils.metrics import sparsity, psnr
+
+    img = cv2.imread(args.input)
+    if img is None:
+        sys.exit(f"cannot read {args.input}")
+    bs = args.block_size
+    h, w = img.shape[:2]
+    img = cv2.resize(img, (bs * (w // bs), bs * (h // bs)))
+    planes = jnp.asarray(img.transpose(2, 0, 1), jnp.int32)
+    ycc = color.bgr_to_ycrcb_planes(planes).astype(jnp.float32) - 128
+    q = quant_ops.quant_tables(args.qf, jnp.float32)
+    coeffs = quant_ops.quantize(
+        dct_ops.dct2_blocks(blk.plane_to_blocks(ycc, bs)),
+        q[:, None, None], rounded=True)
+    # the reference's printed statistic (dct.py:188-191)
+    print(f"sparsity: {sparsity(np.asarray(coeffs)):.6f}")
+    back = dct_ops.idct2_blocks(quant_ops.dequantize(coeffs, q[:, None, None]))
+    rec = jnp.clip(jnp.round(blk.blocks_to_plane(back)) + 128, 0, 255)
+    bgr = np.asarray(color.ycrcb_to_bgr_planes(rec.astype(jnp.int32)))
+    bgr_hwc = bgr.transpose(1, 2, 0).astype(np.uint8)
+    print(f"roundtrip PSNR at QF={args.qf}: {psnr(bgr_hwc, img):.2f} dB")
+    if args.output:
+        cv2.imwrite(args.output, bgr_hwc)
+        print(f"wrote {args.output}")
+
+
+def cmd_chroma_study(args):
+    """The 4:2:0 chroma study (ref: ChromaSubsampling/chroma.py)."""
+    import cv2
+    import jax.numpy as jnp
+    from vcs_h264_tpu.ops import subsample
+    from vcs_h264_tpu.utils.metrics import psnr
+
+    img = cv2.imread(args.input)
+    if img is None:
+        sys.exit(f"cannot read {args.input}")
+    planes = jnp.asarray(img.transpose(2, 0, 1), jnp.int32)
+    out = np.asarray(subsample.chroma_420_roundtrip(planes))
+    out_hwc = out.transpose(1, 2, 0).astype(np.uint8)
+    print(f"4:2:0 roundtrip PSNR: {psnr(out_hwc, img):.2f} dB")
+    if args.output:
+        cv2.imwrite(args.output, out_hwc)
+        print(f"wrote {args.output}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="vcs_h264_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -149,6 +203,16 @@ def main(argv=None):
     p.add_argument("input"); p.add_argument("-o", "--output", default=None)
     p.add_argument("--mode", choices=["4x4", "16x16"], default="4x4")
     p.set_defaults(fn=cmd_intra)
+
+    p = sub.add_parser("dct", help="DCT+quant study on an image")
+    p.add_argument("input"); p.add_argument("-o", "--output", default=None)
+    p.add_argument("--qf", type=float, default=99.0)
+    p.add_argument("--block-size", type=int, default=8)
+    p.set_defaults(fn=cmd_dct_study)
+
+    p = sub.add_parser("chroma", help="4:2:0 subsampling study on an image")
+    p.add_argument("input"); p.add_argument("-o", "--output", default=None)
+    p.set_defaults(fn=cmd_chroma_study)
 
     args = ap.parse_args(argv)
     args.fn(args)
