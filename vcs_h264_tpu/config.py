@@ -40,6 +40,10 @@ class CodecConfig:
     # "rounded": round-to-nearest int16 coefficients (dct.py:179 semantics) —
     #   the production bitstream path (actually compressible).
     quant_mode: str = "reference"
+    # Intra-code I-frames (lossless 4x4 mode prediction + wavefront decode)
+    # in the serialized bitstream instead of storing them raw. The reference
+    # never wired its intra study into the codec (SURVEY.md §1 L3).
+    intra_i: bool = False
 
     # --- compute -------------------------------------------------------------
     dtype: str = "float32"            # transform math dtype on device
@@ -72,7 +76,8 @@ class CodecConfig:
 
     @classmethod
     def production(cls, **overrides) -> "CodecConfig":
-        """Rounded-quant bitstream mode (real compression)."""
-        kw = dict(quant_mode="rounded")
+        """Rounded-quant bitstream mode (real compression), intra-coded
+        I-frames."""
+        kw = dict(quant_mode="rounded", intra_i=True)
         kw.update(overrides)
         return cls(**kw)

@@ -31,7 +31,7 @@ from vcs_h264_tpu.models.gop import EncodedGOP, EncodedVideo
 from vcs_h264_tpu.ops.quant import zigzag_order_np
 
 _MAGIC = b"VCSH264T"
-_VERSION = 2
+_VERSION = 3
 
 # ---------------------------------------------------------------------------
 # native library loading (with build-on-demand) + python fallback
@@ -220,10 +220,13 @@ def save_vcs(video: EncodedVideo, path: str) -> None:
     bs = cfg.block_size
     with open(path, "wb") as fh:
         fh.write(_MAGIC)
+        mode = (2 if cfg.with_dct else (1 if cfg.with_residual else 0))
+        if cfg.intra_i:
+            mode |= 4
         fh.write(struct.pack(
             "<IIIdIIdII", _VERSION, video.height, video.width, video.fps,
             video.num_frames, bs, cfg.quality_factor, len(video.gops),
-            (2 if cfg.with_dct else (1 if cfg.with_residual else 0))))
+            mode))
         pat = ",".join(cfg.gop_pattern).encode()
         fh.write(struct.pack("<I", len(pat)))
         fh.write(pat)
@@ -231,7 +234,18 @@ def save_vcs(video: EncodedVideo, path: str) -> None:
             i_frame = np.asarray(gop.i_frame, dtype=np.uint8)
             mv = np.asarray(gop.mv, dtype=np.int16)
             fh.write(struct.pack("<III", *i_frame.shape))
-            fh.write(i_frame.tobytes())
+            if cfg.intra_i:
+                from vcs_h264_tpu.models.intra_codec import encode_intra_frame
+                intra = encode_intra_frame(i_frame.astype(np.int32))
+                res_blob = rle_encode(np.asarray(intra.residual).ravel())
+                modes_b = np.asarray(intra.modes, np.int8).tobytes()
+                esc = rle_encode(np.asarray(intra.escape).astype(np.int16)
+                                 .ravel())
+                fh.write(struct.pack("<QQQ", len(res_blob), len(modes_b),
+                                     len(esc)))
+                fh.write(res_blob); fh.write(modes_b); fh.write(esc)
+            else:
+                fh.write(i_frame.tobytes())
             fh.write(struct.pack("<I", mv.shape[0]))
             mv_blob = rle_encode(mv.ravel())
             fh.write(struct.pack("<Q", len(mv_blob)))
@@ -263,15 +277,33 @@ def load_vcs(path: str) -> EncodedVideo:
             raise ValueError(f"unsupported version {version}")
         (pat_len,) = struct.unpack("<I", fh.read(4))
         pattern = tuple(fh.read(pat_len).decode().split(","))
+        intra_i = bool(mode & 4)
+        mode &= 3
         cfg = CodecConfig(block_size=bs, gop_pattern=pattern,
                           quality_factor=qf,
                           with_dct=(mode == 2), with_residual=(mode >= 1),
-                          quant_mode="rounded" if mode == 2 else "reference")
+                          quant_mode="rounded" if mode == 2 else "reference",
+                          intra_i=intra_i)
         gops = []
         for _ in range(n_gops):
             c, ih, iw = struct.unpack("<III", fh.read(12))
-            i_frame = np.frombuffer(fh.read(c * ih * iw), np.uint8)
-            i_frame = i_frame.reshape(c, ih, iw).astype(np.int32)
+            if intra_i:
+                from vcs_h264_tpu.models.intra_codec import (IntraFrame,
+                                                             decode_intra_frame)
+                import jax.numpy as jnp
+                rl, ml, el = struct.unpack("<QQQ", fh.read(24))
+                res = rle_decode(fh.read(rl), c * ih * iw)
+                res = res.reshape(c, ih, iw)
+                modes = np.frombuffer(fh.read(ml), np.int8)
+                modes = modes.reshape(c, ih // 4, iw // 4)
+                esc = rle_decode(fh.read(el), c * (ih // 4) * (iw // 4))
+                esc = esc.reshape(c, ih // 4, iw // 4).astype(bool)
+                i_frame = np.asarray(decode_intra_frame(IntraFrame(
+                    jnp.asarray(res), jnp.asarray(modes),
+                    jnp.asarray(esc)))).astype(np.int32)
+            else:
+                i_frame = np.frombuffer(fh.read(c * ih * iw), np.uint8)
+                i_frame = i_frame.reshape(c, ih, iw).astype(np.int32)
             (n_p,) = struct.unpack("<I", fh.read(4))
             (mv_len,) = struct.unpack("<Q", fh.read(8))
             nbh, nbw = ih // bs, iw // bs

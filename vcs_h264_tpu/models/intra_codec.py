@@ -1,0 +1,46 @@
+"""Intra coding of I-frames (the integration the reference never built).
+
+The reference stores I-frames raw (`encoder.py:41-43`) and its intra study
+(`intraframe.py`) is image-only, never wired into the video codec
+(SURVEY.md §1 L3). Here the two meet: I-frames are intra-predicted per
+channel with the 4x4 mode search and reconstructed losslessly by the
+wavefront decoder, so P-frame motion compensation still references the exact
+pixels while the stored I-frame payload becomes sparse residuals + 4-bit
+modes — entropy-coded, typically 2-3x smaller than raw (see
+tests/test_intra_codec.py on real frames).
+
+Prediction runs on the B, G, R planes directly (not YCrCb) so the roundtrip
+avoids the color conversion's information loss and stays bit-exact.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vcs_h264_tpu.ops import intra
+
+
+class IntraFrame(NamedTuple):
+    """Losslessly intra-coded frame: per-channel residual/modes/escape."""
+    residual: jax.Array    # int16 [C, H, W]
+    modes: jax.Array       # int8  [C, H/4, W/4]
+    escape: jax.Array      # bool  [C, H/4, W/4]
+
+
+@jax.jit
+def encode_intra_frame(planes: jnp.ndarray) -> IntraFrame:
+    """planes: int32 [C, H, W] (uint8 values), H, W multiples of 4."""
+    res, modes, escape = jax.vmap(intra.luma4x4_codec)(planes)
+    return IntraFrame(residual=res.astype(jnp.int16),
+                      modes=modes.astype(jnp.int8), escape=escape)
+
+
+@jax.jit
+def decode_intra_frame(frame: IntraFrame) -> jnp.ndarray:
+    """-> int32 [C, H, W], bit-exact inverse of encode_intra_frame."""
+    return jax.vmap(intra.intra_decode4x4)(
+        frame.residual.astype(jnp.int32), frame.modes.astype(jnp.int32),
+        frame.escape)
