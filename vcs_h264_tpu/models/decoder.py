@@ -23,8 +23,8 @@ class Decoder:
     def decode(self, video: EncodedVideo) -> List[np.ndarray]:
         """-> list of BGR uint8 frames, in stream order."""
         cfg = video.config
-        dec_batch = pipeline.jit_decode_gop_batch(cfg)
-        dec_one = pipeline.jit_decode_gop(cfg)
+        dec_batch = pipeline.jit_decode_gop_batch_u8(cfg)
+        dec_one = pipeline.jit_decode_gop_u8(cfg)
 
         full_p = cfg.gop_len - 1
         frames: List[np.ndarray] = []

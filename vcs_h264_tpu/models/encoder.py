@@ -84,12 +84,12 @@ class Encoder:
         enc_batch = pipeline.jit_encode_gop_batch(cfg)
         for start in range(0, len(full), self.gop_batch):
             idxs = full[start:start + self.gop_batch]
+            # uint8 uploads: device casts to int32 (4x less host link traffic)
             i_b = jnp.asarray(
-                np.stack([grouped[i][0] for i in idxs]).transpose(0, 3, 1, 2),
-                jnp.int32)
+                np.stack([grouped[i][0] for i in idxs]).transpose(0, 3, 1, 2))
             p_b = jnp.asarray(
                 np.stack([grouped[i][1] for i in idxs])
-                .transpose(0, 1, 4, 2, 3), jnp.int32)
+                .transpose(0, 1, 4, 2, 3))
             out = enc_batch(i_b, p_b)
             for bi, idx in enumerate(idxs):
                 gop = EncodedGOP(
@@ -104,7 +104,7 @@ class Encoder:
         enc_one = pipeline.jit_encode_gop(cfg)
         for idx in tail:
             i_f, p_f = grouped[idx]
-            i_pl = jnp.asarray(i_f.transpose(2, 0, 1), jnp.int32)
+            i_pl = jnp.asarray(i_f.transpose(2, 0, 1))
             if p_f.shape[0] == 0:
                 gop = EncodedGOP(
                     i_frame=i_pl,
@@ -112,8 +112,7 @@ class Encoder:
                                   w // cfg.block_size, 2), jnp.int32),
                     residuals=None)
             else:
-                gop = enc_one(i_pl,
-                              jnp.asarray(p_f.transpose(0, 3, 1, 2), jnp.int32))
+                gop = enc_one(i_pl, jnp.asarray(p_f.transpose(0, 3, 1, 2)))
             encoded[idx] = gop
             self._log_gop(idx, gop)
             if checkpoint_dir:

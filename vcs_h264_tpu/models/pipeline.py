@@ -93,6 +93,8 @@ def encode_gop(i_frame: jnp.ndarray, p_frames: jnp.ndarray,
     `_process_P_frame` (motion -> compensate -> residual -> DCT,
     encoder.py:49-70); every P references the GOP's I (encoder.py:51).
     """
+    i_frame = i_frame.astype(jnp.int32)
+    p_frames = p_frames.astype(jnp.int32)
     mv = _search_gop(p_frames, i_frame, cfg)
     if not cfg.with_residual:
         return EncodedGOP(i_frame=i_frame, mv=mv, residuals=None)
@@ -109,6 +111,8 @@ def decode_gop(gop: EncodedGOP, cfg: CodecConfig) -> jnp.ndarray:
 
     Mirrors `Decoder.reconstruct_video` I-passthrough (decoder.py:35-39) and
     `_reconstruct_P_frame` (decoder.py:62-69)."""
+    gop = EncodedGOP(i_frame=gop.i_frame.astype(jnp.int32),
+                     mv=gop.mv, residuals=gop.residuals)
     recon = jax.vmap(lambda m: motion.motion_compensate(
         m, gop.i_frame, cfg.block_size))(gop.mv)
     if cfg.with_residual and gop.residuals is not None:
@@ -126,7 +130,10 @@ def decode_gop(gop: EncodedGOP, cfg: CodecConfig) -> jnp.ndarray:
 # search runs GOP-batched through the pallas grid (never vmapped); the rest
 # of the pipeline vmaps normally.
 def encode_gop_batch(i_frames, p_frames, cfg: CodecConfig) -> EncodedGOP:
-    """i_frames [B, 3, H, W]; p_frames [B, P, 3, H, W] (planar)."""
+    """i_frames [B, 3, H, W]; p_frames [B, P, 3, H, W] (planar, any int
+    dtype — uint8 uploads minimize host->device traffic)."""
+    i_frames = i_frames.astype(jnp.int32)
+    p_frames = p_frames.astype(jnp.int32)
     mv = _search_gops(p_frames, i_frames, cfg)          # [B, P, nbh, nbw, 2]
     if not cfg.with_residual:
         return EncodedGOP(i_frame=i_frames, mv=mv, residuals=None)
@@ -165,3 +172,18 @@ def jit_encode_gop_batch(cfg: CodecConfig):
 @functools.lru_cache(maxsize=None)
 def jit_decode_gop_batch(cfg: CodecConfig):
     return jax.jit(functools.partial(decode_gop_batch, cfg=cfg))
+
+
+@functools.lru_cache(maxsize=None)
+def jit_decode_gop_batch_u8(cfg: CodecConfig):
+    """Decode + cast to uint8 on device (4x less device->host traffic)."""
+    def fn(gop):
+        return decode_gop_batch(gop, cfg).astype(jnp.uint8)
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def jit_decode_gop_u8(cfg: CodecConfig):
+    def fn(gop):
+        return decode_gop(gop, cfg).astype(jnp.uint8)
+    return jax.jit(fn)
