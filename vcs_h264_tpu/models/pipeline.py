@@ -73,6 +73,63 @@ def dct_decompress_residual(coeffs: jnp.ndarray, cfg: CodecConfig) -> jnp.ndarra
     return color.ycrcb_to_bgr_planes(ycc)
 
 
+# Production ("rounded") residual path: the reference feeds the mod-256
+# *wrapped* residual image through BGR->YCrCb before the DCT
+# (DCTcompressor.py:55-60). With its unrounded float quantization that is
+# lossless, but with real (rounded) quantization the wrap discontinuities
+# (-1 -> 255) explode the high-frequency coefficients and quantization error
+# wraps across the whole value range (observed: P-frame PSNR dropping to
+# ~19 dB). Production mode therefore codes the *signed* residual through a
+# linear (offset-free, clip-free) RCT-style decorrelating transform; the
+# wrap semantics remain exclusively a reference-parity feature.
+
+_RCT = (0.299, 0.587, 0.114, 0.713, 0.564, 1.403, 0.714, 0.344, 1.773)
+
+
+def _signed_bgr_to_ycc(resid: jnp.ndarray) -> jnp.ndarray:
+    """Linear BGR->YCrCb on signed planar residuals [..., 3, H, W] float."""
+    b = resid[..., 0, :, :]
+    g = resid[..., 1, :, :]
+    r = resid[..., 2, :, :]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cr = (r - y) * 0.713
+    cb = (b - y) * 0.564
+    return jnp.stack([y, cr, cb], axis=-3)
+
+
+def _signed_ycc_to_bgr(ycc: jnp.ndarray) -> jnp.ndarray:
+    y = ycc[..., 0, :, :]
+    cr = ycc[..., 1, :, :]
+    cb = ycc[..., 2, :, :]
+    r = y + cr / 0.713
+    b = y + cb / 0.564
+    g = (y - 0.299 * r - 0.114 * b) / 0.587
+    return jnp.stack([b, g, r], axis=-3)
+
+
+def dct_compress_residual_signed(resid: jnp.ndarray,
+                                 cfg: CodecConfig) -> jnp.ndarray:
+    """Signed residual [..., 3, H, W] int32 in [-255, 255] -> int16
+    quantized coefficient planes."""
+    bs = cfg.block_size
+    ycc = _signed_bgr_to_ycc(resid.astype(jnp.float32))
+    d = dct2_blocks(plane_to_blocks(ycc, bs))
+    q = quant_tables(cfg.quality_factor, jnp.float32)
+    coeffs = jnp.round(d / q[:, None, None])
+    return blocks_to_plane(coeffs).astype(jnp.int16)
+
+
+def dct_decompress_residual_signed(coeffs: jnp.ndarray,
+                                   cfg: CodecConfig) -> jnp.ndarray:
+    """int16 coefficient planes -> signed residual [..., 3, H, W] int32."""
+    bs = cfg.block_size
+    q = quant_tables(cfg.quality_factor, jnp.float32)
+    v = idct2_blocks(plane_to_blocks(coeffs.astype(jnp.float32), bs)
+                     * q[:, None, None])
+    ycc = blocks_to_plane(v)
+    return jnp.round(_signed_ycc_to_bgr(ycc)).astype(jnp.int32)
+
+
 def _search_gop(p_frames, i_frame, cfg: CodecConfig):
     return motion.motion_search_batch(
         p_frames, i_frame, bs=cfg.block_size, reach=cfg.search_reach,
@@ -100,9 +157,12 @@ def encode_gop(i_frame: jnp.ndarray, p_frames: jnp.ndarray,
         return EncodedGOP(i_frame=i_frame, mv=mv, residuals=None)
     recon = jax.vmap(lambda m: motion.motion_compensate(
         m, i_frame, cfg.block_size))(mv)
-    resid = motion.residuals_wrap(p_frames, recon)
-    if cfg.with_dct:
-        resid = dct_compress_residual(resid, cfg)
+    if cfg.with_dct and cfg.quant_mode == "rounded":
+        resid = dct_compress_residual_signed(p_frames - recon, cfg)
+    else:
+        resid = motion.residuals_wrap(p_frames, recon)
+        if cfg.with_dct:
+            resid = dct_compress_residual(resid, cfg)
     return EncodedGOP(i_frame=i_frame, mv=mv, residuals=resid)
 
 
@@ -117,9 +177,13 @@ def decode_gop(gop: EncodedGOP, cfg: CodecConfig) -> jnp.ndarray:
         m, gop.i_frame, cfg.block_size))(gop.mv)
     if cfg.with_residual and gop.residuals is not None:
         resid = gop.residuals
-        if cfg.with_dct:
-            resid = dct_decompress_residual(resid, cfg)
-        out_p = motion.reconstruct_wrap(recon, resid)
+        if cfg.with_dct and cfg.quant_mode == "rounded":
+            out_p = jnp.clip(
+                recon + dct_decompress_residual_signed(resid, cfg), 0, 255)
+        else:
+            if cfg.with_dct:
+                resid = dct_decompress_residual(resid, cfg)
+            out_p = motion.reconstruct_wrap(recon, resid)
     else:
         out_p = recon
     return jnp.concatenate([gop.i_frame[None], out_p], axis=0)
@@ -141,6 +205,8 @@ def encode_gop_batch(i_frames, p_frames, cfg: CodecConfig) -> EncodedGOP:
     def finish(i_frame, p_f, m):
         recon = jax.vmap(lambda mm: motion.motion_compensate(
             mm, i_frame, cfg.block_size))(m)
+        if cfg.with_dct and cfg.quant_mode == "rounded":
+            return dct_compress_residual_signed(p_f - recon, cfg)
         resid = motion.residuals_wrap(p_f, recon)
         if cfg.with_dct:
             resid = dct_compress_residual(resid, cfg)

@@ -37,7 +37,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 from vcs_h264_tpu.config import CodecConfig
 from vcs_h264_tpu.models.gop import EncodedGOP
 from vcs_h264_tpu.models.pipeline import (dct_compress_residual,
-                                          dct_decompress_residual)
+                                          dct_compress_residual_signed,
+                                          dct_decompress_residual,
+                                          dct_decompress_residual_signed)
 from vcs_h264_tpu.ops import motion as M
 from vcs_h264_tpu.ops.motion import (_INIT_SENTINEL, _MASKED, _tile_sums,
                                      _wrap_abs_diff, make_plan)
@@ -241,6 +243,8 @@ def make_sharded_encoder(mesh: Mesh, cfg: CodecConfig, h: int, w: int):
             mv = search_gop(i_strip, p_frames)
             recon = jax.vmap(lambda m: tile_motion_compensate(
                 m, i_strip, tile_idx, bs, th, halo))(mv)
+            if cfg.with_dct and cfg.quant_mode == "rounded":
+                return mv, dct_compress_residual_signed(p_frames - recon, cfg)
             resid = M.residuals_wrap(p_frames, recon)
             if cfg.with_dct:
                 resid = dct_compress_residual(resid, cfg)
@@ -281,9 +285,14 @@ def make_sharded_decoder(mesh: Mesh, cfg: CodecConfig, h: int, w: int):
             recon = jax.vmap(lambda m: tile_motion_compensate(
                 m, i_strip, tile_idx, bs, th, halo))(mv)
             if cfg.with_residual and resid is not None:
-                if cfg.with_dct:
-                    resid = dct_decompress_residual(resid, cfg)
-                out_p = M.reconstruct_wrap(recon, resid)
+                if cfg.with_dct and cfg.quant_mode == "rounded":
+                    out_p = jnp.clip(
+                        recon + dct_decompress_residual_signed(resid, cfg),
+                        0, 255)
+                else:
+                    if cfg.with_dct:
+                        resid = dct_decompress_residual(resid, cfg)
+                    out_p = M.reconstruct_wrap(recon, resid)
             else:
                 out_p = recon
             return jnp.concatenate([i_tile[None], out_p], axis=0)
