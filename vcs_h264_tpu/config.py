@@ -19,6 +19,12 @@ class CodecConfig:
 
     # --- block / GOP structure ----------------------------------------------
     block_size: int = 8              # ref: main.py:15
+    # Frame types in display order. "B" frames are bidirectionally predicted
+    # from the nearest anchor (I/P) on each side — the reference only stubbed
+    # these (`encoder.py:45-47`; prototype display order I,B,P,B,P,B,P at
+    # `Prototypes/main-motion.py:137-140`). A pattern containing B must end
+    # with an anchor so every B has both references inside its own GOP
+    # (keeps GOPs independent — the data-parallel axis).
     gop_pattern: Tuple[str, ...] = ("I", "P", "P", "P")   # ref: main.py:16
 
     # --- motion search -------------------------------------------------------
@@ -53,9 +59,14 @@ class CodecConfig:
             raise ValueError(f"block_size must be >= 2, got {self.block_size}")
         if not self.gop_pattern or self.gop_pattern[0] != "I":
             raise ValueError("gop_pattern must start with 'I'")
-        if any(t not in ("I", "P") for t in self.gop_pattern):
-            raise ValueError("only I/P frames supported (ref has a B stub only,"
-                             " encoder.py:45-47)")
+        if any(t not in ("I", "P", "B") for t in self.gop_pattern):
+            raise ValueError(f"unknown frame types in {self.gop_pattern}")
+        if "I" in self.gop_pattern[1:]:
+            raise ValueError("only the first frame of a GOP may be I")
+        if "B" in self.gop_pattern and self.gop_pattern[-1] == "B":
+            raise ValueError(
+                "a GOP pattern with B frames must end with an anchor (P) so "
+                "every B has a backward reference inside its own GOP")
         if not (1 <= self.quality_factor <= 99):
             raise ValueError("quality_factor must be in [1, 99]")
         if self.quant_mode not in ("reference", "rounded"):
@@ -69,10 +80,27 @@ class CodecConfig:
     def frames_per_gop_p(self) -> int:
         return self.gop_len - 1
 
+    @property
+    def has_b(self) -> bool:
+        return "B" in self.gop_pattern
+
+    @property
+    def num_b(self) -> int:
+        return sum(1 for t in self.gop_pattern if t == "B")
+
     @classmethod
     def reference(cls, **overrides) -> "CodecConfig":
         """The exact reference operating point (bit-parity mode)."""
         return cls(**overrides)
+
+    @classmethod
+    def bframes(cls, **overrides) -> "CodecConfig":
+        """The prototype's 7-frame display order I,B,P,B,P,B,P
+        (Prototypes/main-motion.py:137-140) with real bidirectional
+        prediction."""
+        kw = dict(gop_pattern=("I", "B", "P", "B", "P", "B", "P"))
+        kw.update(overrides)
+        return cls(**kw)
 
     @classmethod
     def production(cls, **overrides) -> "CodecConfig":

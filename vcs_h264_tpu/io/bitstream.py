@@ -31,7 +31,7 @@ from vcs_h264_tpu.models.gop import EncodedGOP, EncodedVideo
 from vcs_h264_tpu.ops.quant import zigzag_order_np
 
 _MAGIC = b"VCSH264T"
-_VERSION = 3
+_VERSION = 4          # v4 adds per-GOP B-frame sections; v3 files still load
 
 # ---------------------------------------------------------------------------
 # native library loading (with build-on-demand) + python fallback
@@ -250,21 +250,36 @@ def save_vcs(video: EncodedVideo, path: str) -> None:
             mv_blob = rle_encode(mv.ravel())
             fh.write(struct.pack("<Q", len(mv_blob)))
             fh.write(mv_blob)
-            if gop.residuals is None:
-                fh.write(struct.pack("<Q", 0))
-                continue
-            res = np.asarray(gop.residuals)
-            if cfg.with_dct:
-                res16 = np.round(res).astype(np.int16)
-                blob = rle_encode(_zigzag_plane(res16, bs))
-            else:
+
+            def res_blob(res):
+                if res is None:
+                    return b""
+                res = np.asarray(res)
+                if cfg.with_dct:
+                    res16 = np.round(res).astype(np.int16)
+                    return rle_encode(_zigzag_plane(res16, bs))
                 # wrap residuals are bytes; recenter to int16 around 0 for
                 # short codes (values cluster at 0 and 255)
                 res16 = res.astype(np.int16)
-                res16 = np.where(res16 > 127, res16 - 256, res16).astype(np.int16)
-                blob = rle_encode(res16.ravel())
+                res16 = np.where(res16 > 127, res16 - 256,
+                                 res16).astype(np.int16)
+                return rle_encode(res16.ravel())
+
+            blob = res_blob(gop.residuals)
             fh.write(struct.pack("<Q", len(blob)))
             fh.write(blob)
+            # ---- B-frame section (v4) -----------------------------------
+            n_b = 0 if gop.b_mv is None else gop.b_mv.shape[0]
+            fh.write(struct.pack("<I", n_b))
+            if n_b:
+                bmv_blob = rle_encode(
+                    np.asarray(gop.b_mv, np.int16).ravel())
+                mode_b = np.asarray(gop.b_mode, np.int8).tobytes()
+                fh.write(struct.pack("<QQ", len(bmv_blob), len(mode_b)))
+                fh.write(bmv_blob); fh.write(mode_b)
+                bres = res_blob(gop.b_residuals)
+                fh.write(struct.pack("<Q", len(bres)))
+                fh.write(bres)
 
 
 def load_vcs(path: str) -> EncodedVideo:
@@ -273,7 +288,7 @@ def load_vcs(path: str) -> EncodedVideo:
             raise ValueError("not a .vcs file")
         (version, h, w, fps, num_frames, bs, qf, n_gops,
          mode) = struct.unpack("<IIIdIIdII", fh.read(44))
-        if version != _VERSION:
+        if version not in (3, _VERSION):
             raise ValueError(f"unsupported version {version}")
         (pat_len,) = struct.unpack("<I", fh.read(4))
         pattern = tuple(fh.read(pat_len).decode().split(","))
@@ -309,18 +324,31 @@ def load_vcs(path: str) -> EncodedVideo:
             nbh, nbw = ih // bs, iw // bs
             mv = rle_decode(fh.read(mv_len), n_p * nbh * nbw * 2)
             mv = mv.reshape(n_p, nbh, nbw, 2).astype(np.int32)
-            (blob_len,) = struct.unpack("<Q", fh.read(8))
-            if blob_len == 0:
-                res = None
-            else:
+            def read_res(n_f):
+                (blob_len,) = struct.unpack("<Q", fh.read(8))
+                if blob_len == 0:
+                    return None
                 blob = fh.read(blob_len)
                 if mode == 2:
-                    flat = rle_decode(blob, n_p * c * ih * iw)
-                    res = _unzigzag_plane(flat, (n_p, c, ih, iw), bs)
-                    res = res.astype(np.int16)
-                else:
-                    flat = rle_decode(blob, n_p * c * ih * iw).astype(np.int32)
-                    res = (flat & 255).reshape(n_p, c, ih, iw)
-            gops.append(EncodedGOP(i_frame=i_frame, mv=mv, residuals=res))
+                    flat = rle_decode(blob, n_f * c * ih * iw)
+                    return _unzigzag_plane(
+                        flat, (n_f, c, ih, iw), bs).astype(np.int16)
+                flat = rle_decode(blob, n_f * c * ih * iw).astype(np.int32)
+                return (flat & 255).reshape(n_f, c, ih, iw)
+
+            res = read_res(n_p)
+            b_mv = b_mode = b_res = None
+            if version >= 4:
+                (n_b,) = struct.unpack("<I", fh.read(4))
+                if n_b:
+                    bl, ml = struct.unpack("<QQ", fh.read(16))
+                    b_mv = rle_decode(fh.read(bl), n_b * 2 * nbh * nbw * 2)
+                    b_mv = b_mv.reshape(n_b, 2, nbh, nbw, 2).astype(np.int32)
+                    b_mode = np.frombuffer(fh.read(ml), np.int8)
+                    b_mode = b_mode.reshape(n_b, nbh, nbw)
+                    b_res = read_res(n_b)
+            gops.append(EncodedGOP(i_frame=i_frame, mv=mv, residuals=res,
+                                   b_mv=b_mv, b_mode=b_mode,
+                                   b_residuals=b_res))
     return EncodedVideo(config=cfg, height=h, width=w, fps=fps,
                         num_frames=num_frames, gops=gops)

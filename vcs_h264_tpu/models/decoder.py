@@ -26,7 +26,6 @@ class Decoder:
         dec_batch = pipeline.jit_decode_gop_batch_u8(cfg)
         dec_one = pipeline.jit_decode_gop_u8(cfg)
 
-        full_p = cfg.gop_len - 1
         frames: List[np.ndarray] = []
         # batch together consecutive full GOPs
         buf: List[EncodedGOP] = []
@@ -43,7 +42,7 @@ class Decoder:
             buf.clear()
 
         for gop in video.gops:
-            if gop.num_p == full_p:
+            if gop.num_coded == cfg.gop_len:
                 buf.append(gop)
                 if len(buf) >= self.gop_batch:
                     flush()

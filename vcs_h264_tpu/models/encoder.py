@@ -20,6 +20,7 @@ import os
 from typing import List, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from vcs_h264_tpu.config import CodecConfig
@@ -29,19 +30,36 @@ from vcs_h264_tpu.io.video import group_into_gops
 
 
 def _save_gop_npz(path: str, gop: EncodedGOP, with_dct: bool) -> None:
-    res = None if gop.residuals is None else np.asarray(gop.residuals)
-    if res is not None and not with_dct:
-        res = res.astype(np.uint8)
-    np.savez_compressed(path, i=np.asarray(gop.i_frame, np.uint8),
-                        mv=np.asarray(gop.mv, np.int8),
-                        **({} if res is None else {"res": res}))
+    def as_res(res):
+        if res is None:
+            return None
+        res = np.asarray(res)
+        return res.astype(np.uint8) if not with_dct else res
+
+    arrays = dict(i=np.asarray(gop.i_frame, np.uint8),
+                  mv=np.asarray(gop.mv, np.int8))
+    res = as_res(gop.residuals)
+    if res is not None:
+        arrays["res"] = res
+    if gop.b_mv is not None:
+        arrays["bmv"] = np.asarray(gop.b_mv, np.int8)
+        arrays["bmode"] = np.asarray(gop.b_mode, np.int8)
+        bres = as_res(gop.b_residuals)
+        if bres is not None:
+            arrays["bres"] = bres
+    np.savez_compressed(path, **arrays)
 
 
 def _load_gop_npz(path: str) -> EncodedGOP:
     data = np.load(path)
+    bmv = data["bmv"] if "bmv" in data else None
     return EncodedGOP(i_frame=data["i"].astype(np.int32),
                       mv=data["mv"].astype(np.int32),
-                      residuals=data["res"] if "res" in data else None)
+                      residuals=data["res"] if "res" in data else None,
+                      b_mv=None if bmv is None else bmv.astype(np.int32),
+                      b_mode=(data["bmode"].astype(np.int8)
+                              if bmv is not None else None),
+                      b_residuals=data["bres"] if "bres" in data else None)
 
 
 class Encoder:
@@ -92,10 +110,7 @@ class Encoder:
                 .transpose(0, 1, 4, 2, 3))
             out = enc_batch(i_b, p_b)
             for bi, idx in enumerate(idxs):
-                gop = EncodedGOP(
-                    i_frame=out.i_frame[bi], mv=out.mv[bi],
-                    residuals=None if out.residuals is None
-                    else out.residuals[bi])
+                gop = jax.tree.map(lambda x, _bi=bi: x[_bi], out)
                 encoded[idx] = gop
                 self._log_gop(idx, gop)
                 if checkpoint_dir:

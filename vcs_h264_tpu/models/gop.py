@@ -31,13 +31,23 @@ class EncodedGOP:
     residuals: with_dct=False: int32/uint8 [P, H, W, 3] wrap residuals
                with_dct=True:  float32 [P, 3, H, W] coefficient planes
                ("reference" quant mode) or int16 ("rounded" mode)
+
+    B-frame fields (None unless the GOP pattern has B frames — the
+    reference's stub, encoder.py:45-47):
+    b_mv:        int32 [NB, 2, nbh, nbw, 2]  forward + backward vectors
+    b_mode:      int8  [NB, nbh, nbw]        0=fwd, 1=bwd, 2=bi-average
+    b_residuals: same formats as `residuals`, [NB, ...]
     """
     i_frame: jax.Array
     mv: jax.Array
     residuals: Optional[jax.Array]
+    b_mv: Optional[jax.Array] = None
+    b_mode: Optional[jax.Array] = None
+    b_residuals: Optional[jax.Array] = None
 
     def tree_flatten(self):
-        return (self.i_frame, self.mv, self.residuals), None
+        return (self.i_frame, self.mv, self.residuals,
+                self.b_mv, self.b_mode, self.b_residuals), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -46,6 +56,15 @@ class EncodedGOP:
     @property
     def num_p(self) -> int:
         return self.mv.shape[0]
+
+    @property
+    def num_b(self) -> int:
+        return 0 if self.b_mv is None else self.b_mv.shape[0]
+
+    @property
+    def num_coded(self) -> int:
+        """Total frames this GOP codes (I + P + B)."""
+        return 1 + self.num_p + self.num_b
 
 
 @dataclasses.dataclass
@@ -65,14 +84,23 @@ class EncodedVideo:
 
     def save_npz(self, path: str) -> None:
         arrays = {}
+
+        def put_res(key, res):
+            if res is None:
+                return
+            res = np.asarray(res)
+            if not self.config.with_dct:
+                res = res.astype(np.uint8)          # wrap residuals are bytes
+            arrays[key] = res
+
         for g, gop in enumerate(self.gops):
             arrays[f"gop{g}_i"] = np.asarray(gop.i_frame, dtype=np.uint8)
             arrays[f"gop{g}_mv"] = np.asarray(gop.mv, dtype=np.int8)
-            if gop.residuals is not None:
-                res = np.asarray(gop.residuals)
-                if not self.config.with_dct:
-                    res = res.astype(np.uint8)      # wrap residuals are bytes
-                arrays[f"gop{g}_res"] = res
+            put_res(f"gop{g}_res", gop.residuals)
+            if gop.b_mv is not None:
+                arrays[f"gop{g}_bmv"] = np.asarray(gop.b_mv, dtype=np.int8)
+                arrays[f"gop{g}_bmode"] = np.asarray(gop.b_mode, dtype=np.int8)
+                put_res(f"gop{g}_bres", gop.b_residuals)
         meta = dict(height=self.height, width=self.width, fps=self.fps,
                     num_frames=self.num_frames, num_gops=len(self.gops),
                     block_size=self.config.block_size,
@@ -97,9 +125,15 @@ class EncodedVideo:
         gops = []
         for g in range(int(meta["num_gops"])):
             res = data.get(f"gop{g}_res")
+            bmv = data.get(f"gop{g}_bmv")
+            bres = data.get(f"gop{g}_bres")
             gops.append(EncodedGOP(
                 i_frame=data[f"gop{g}_i"].astype(np.int32),
                 mv=data[f"gop{g}_mv"].astype(np.int32),
-                residuals=None if res is None else res))
+                residuals=None if res is None else res,
+                b_mv=None if bmv is None else bmv.astype(np.int32),
+                b_mode=(None if bmv is None
+                        else data[f"gop{g}_bmode"].astype(np.int8)),
+                b_residuals=None if bres is None else bres))
         return cls(cfg, int(meta["height"]), int(meta["width"]),
                    float(meta["fps"]), int(meta["num_frames"]), gops)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -130,6 +131,55 @@ def dct_decompress_residual_signed(coeffs: jnp.ndarray,
     return jnp.round(_signed_ycc_to_bgr(ycc)).astype(jnp.int32)
 
 
+# ---------------------------------------------------------------------------
+# GOP layout (static, derived from the pattern): which display positions are
+# anchors (I/P) and which are B, and which anchor each B references.
+
+
+@functools.lru_cache(maxsize=None)
+def gop_layout(gop_pattern):
+    """-> (anchor_pos, b_pos, prev_slot, next_slot, p_sel, b_sel) tuples.
+
+    anchor_pos/b_pos: display positions of anchors / B frames.
+    prev_slot/next_slot: per B frame, the index into the anchor list (I at
+    slot 0, P anchors following) of its forward / backward reference.
+    p_sel/b_sel: indices of the P / B frames within the non-I frame array
+    (display order positions 1..L-1 minus one)."""
+    anchors = tuple(t for t, x in enumerate(gop_pattern) if x != "B")
+    b_pos = tuple(t for t, x in enumerate(gop_pattern) if x == "B")
+    slot = {t: s for s, t in enumerate(anchors)}
+    prev_slot = tuple(slot[max(a for a in anchors if a < t)] for t in b_pos)
+    next_slot = tuple(slot[min(a for a in anchors if a > t)] for t in b_pos)
+    p_sel = tuple(t - 1 for t in anchors[1:])
+    b_sel = tuple(t - 1 for t in b_pos)
+    return anchors, b_pos, prev_slot, next_slot, p_sel, b_sel
+
+
+def _apply_residual(recon: jnp.ndarray, resid, cfg: CodecConfig) -> jnp.ndarray:
+    """Decoder-side residual add-back on a predicted frame stack
+    (ref: decoder.py:52-60)."""
+    if not cfg.with_residual or resid is None:
+        return recon
+    if cfg.with_dct and cfg.quant_mode == "rounded":
+        return jnp.clip(recon + dct_decompress_residual_signed(resid, cfg),
+                        0, 255)
+    if cfg.with_dct:
+        resid = dct_decompress_residual(resid, cfg)
+    return motion.reconstruct_wrap(recon, resid)
+
+
+def _encode_residual(cur: jnp.ndarray, recon: jnp.ndarray, cfg: CodecConfig):
+    """Encoder-side residual coding of (cur - prediction)."""
+    if not cfg.with_residual:
+        return None
+    if cfg.with_dct and cfg.quant_mode == "rounded":
+        return dct_compress_residual_signed(cur - recon, cfg)
+    resid = motion.residuals_wrap(cur, recon)
+    if cfg.with_dct:
+        resid = dct_compress_residual(resid, cfg)
+    return resid
+
+
 def _search_gop(p_frames, i_frame, cfg: CodecConfig):
     return motion.motion_search_batch(
         p_frames, i_frame, bs=cfg.block_size, reach=cfg.search_reach,
@@ -142,51 +192,102 @@ def _search_gops(p_b, i_b, cfg: CodecConfig):
         step=cfg.search_step, static_threshold=cfg.static_threshold)
 
 
+def _compensate_stack(mv, refs, bs):
+    """mv [F, nbh, nbw, 2] against per-frame refs [F, C, H, W] (or one shared
+    ref [C, H, W]) -> predictions [F, C, H, W]."""
+    if refs.ndim == 3:
+        return jax.vmap(lambda m: motion.motion_compensate(m, refs, bs))(mv)
+    return jax.vmap(motion.motion_compensate, in_axes=(0, 0, None))(
+        mv, refs, bs)
+
+
+def _b_mode_select(b_frames, pred_f, pred_b, bs):
+    """Per-block bidirectional mode decision: 0=fwd, 1=bwd, 2=bi-average
+    (H.264-style integer rounding average). First-minimum-wins on ties,
+    so cheaper single-reference modes are preferred.
+
+    -> (mode [F, nbh, nbw] int8, prediction [F, C, H, W] int32)."""
+    from vcs_h264_tpu.ops.motion import _tile_sums
+    pred_bi = (pred_f + pred_b + 1) >> 1
+    sads = jnp.stack([_tile_sums(jnp.abs(p - b_frames), bs)
+                      for p in (pred_f, pred_b, pred_bi)])   # [3, F, nbh, nbw]
+    mode = jnp.argmin(sads, axis=0).astype(jnp.int8)
+    mpix = jnp.repeat(jnp.repeat(mode, bs, axis=-2), bs, axis=-1)
+    mpix = mpix[:, None].astype(jnp.int32)                   # [F, 1, H, W]
+    pred = jnp.where(mpix == 0, pred_f,
+                     jnp.where(mpix == 1, pred_b, pred_bi))
+    return mode, pred
+
+
+def _b_predict_decode(anchors, b_mv, b_mode, cfg: CodecConfig):
+    """Decoder-side B prediction from decoded anchor frames [NA, C, H, W]."""
+    _, _, prev_slot, next_slot, _, _ = gop_layout(cfg.gop_pattern)
+    bs = cfg.block_size
+    prev_r = anchors[np.array(prev_slot)]
+    next_r = anchors[np.array(next_slot)]
+    pred_f = _compensate_stack(b_mv[:, 0], prev_r, bs)
+    pred_b = _compensate_stack(b_mv[:, 1], next_r, bs)
+    pred_bi = (pred_f + pred_b + 1) >> 1
+    mpix = jnp.repeat(jnp.repeat(b_mode, bs, axis=-2), bs, axis=-1)
+    mpix = mpix[:, None].astype(jnp.int32)
+    return jnp.where(mpix == 0, pred_f,
+                     jnp.where(mpix == 1, pred_b, pred_bi))
+
+
+def _encode_b_frames(b_frames, anchors, cfg: CodecConfig):
+    """Bidirectional coding of the GOP's B frames against decoded anchors.
+
+    b_frames [NB, C, H, W]; anchors [NA, C, H, W] (decoded, so the encoder's
+    references match the decoder's — closed loop).
+    -> (b_mv [NB, 2, nbh, nbw, 2], b_mode [NB, nbh, nbw], b_resid)."""
+    _, _, prev_slot, next_slot, _, _ = gop_layout(cfg.gop_pattern)
+    bs = cfg.block_size
+    prev_r = anchors[np.array(prev_slot)]
+    next_r = anchors[np.array(next_slot)]
+    mv_f = _search_gops(b_frames[:, None], prev_r, cfg)[:, 0]
+    mv_b = _search_gops(b_frames[:, None], next_r, cfg)[:, 0]
+    pred_f = _compensate_stack(mv_f, prev_r, bs)
+    pred_b = _compensate_stack(mv_b, next_r, bs)
+    mode, pred = _b_mode_select(b_frames, pred_f, pred_b, bs)
+    resid = _encode_residual(b_frames, pred, cfg)
+    return jnp.stack([mv_f, mv_b], axis=1), mode, resid
+
+
 def encode_gop(i_frame: jnp.ndarray, p_frames: jnp.ndarray,
                cfg: CodecConfig) -> EncodedGOP:
-    """Encode one GOP. i_frame int32 planar [3, H, W]; p_frames [P, 3, H, W].
+    """Encode one GOP. i_frame int32 planar [3, H, W]; p_frames: ALL non-I
+    frames of the GOP in display order [gop_len-1, 3, H, W].
 
     Mirrors `Encoder._process_I_frame` (raw reference, encoder.py:41-43) +
     `_process_P_frame` (motion -> compensate -> residual -> DCT,
     encoder.py:49-70); every P references the GOP's I (encoder.py:51).
+    B frames (the reference's stub, encoder.py:45-47) are bidirectionally
+    predicted from the nearest decoded anchors with a per-block
+    fwd/bwd/bi-average mode decision.
     """
-    i_frame = i_frame.astype(jnp.int32)
-    p_frames = p_frames.astype(jnp.int32)
-    mv = _search_gop(p_frames, i_frame, cfg)
-    if not cfg.with_residual:
-        return EncodedGOP(i_frame=i_frame, mv=mv, residuals=None)
-    recon = jax.vmap(lambda m: motion.motion_compensate(
-        m, i_frame, cfg.block_size))(mv)
-    if cfg.with_dct and cfg.quant_mode == "rounded":
-        resid = dct_compress_residual_signed(p_frames - recon, cfg)
-    else:
-        resid = motion.residuals_wrap(p_frames, recon)
-        if cfg.with_dct:
-            resid = dct_compress_residual(resid, cfg)
-    return EncodedGOP(i_frame=i_frame, mv=mv, residuals=resid)
+    out = encode_gop_batch(i_frame[None], p_frames[None], cfg)
+    return jax.tree.map(lambda x: x[0], out)
 
 
 def decode_gop(gop: EncodedGOP, cfg: CodecConfig) -> jnp.ndarray:
-    """Decode one GOP -> int32 planar frames [1 + P, 3, H, W].
+    """Decode one GOP -> int32 planar frames [gop_len, 3, H, W] in display
+    order.
 
     Mirrors `Decoder.reconstruct_video` I-passthrough (decoder.py:35-39) and
-    `_reconstruct_P_frame` (decoder.py:62-69)."""
-    gop = EncodedGOP(i_frame=gop.i_frame.astype(jnp.int32),
-                     mv=gop.mv, residuals=gop.residuals)
-    recon = jax.vmap(lambda m: motion.motion_compensate(
-        m, gop.i_frame, cfg.block_size))(gop.mv)
-    if cfg.with_residual and gop.residuals is not None:
-        resid = gop.residuals
-        if cfg.with_dct and cfg.quant_mode == "rounded":
-            out_p = jnp.clip(
-                recon + dct_decompress_residual_signed(resid, cfg), 0, 255)
-        else:
-            if cfg.with_dct:
-                resid = dct_decompress_residual(resid, cfg)
-            out_p = motion.reconstruct_wrap(recon, resid)
-    else:
-        out_p = recon
-    return jnp.concatenate([gop.i_frame[None], out_p], axis=0)
+    `_reconstruct_P_frame` (decoder.py:62-69); adds B reconstruction."""
+    i_frame = gop.i_frame.astype(jnp.int32)
+    recon = _compensate_stack(gop.mv, i_frame, cfg.block_size)
+    out_p = _apply_residual(recon, gop.residuals, cfg)
+    if gop.b_mv is None:
+        return jnp.concatenate([i_frame[None], out_p], axis=0)
+    anchor_pos, b_pos, _, _, _, _ = gop_layout(cfg.gop_pattern)
+    anchors = jnp.concatenate([i_frame[None], out_p], axis=0)
+    pred = _b_predict_decode(anchors, gop.b_mv, gop.b_mode, cfg)
+    out_b = _apply_residual(pred, gop.b_residuals, cfg)
+    c, h, w = i_frame.shape
+    out = jnp.zeros((cfg.gop_len, c, h, w), jnp.int32)
+    out = out.at[np.array(anchor_pos)].set(anchors)
+    return out.at[np.array(b_pos)].set(out_b)
 
 
 # Batched-over-GOPs variants: the TPU-efficient entry points. Leading axis is
@@ -194,26 +295,58 @@ def decode_gop(gop: EncodedGOP, cfg: CodecConfig) -> jnp.ndarray:
 # search runs GOP-batched through the pallas grid (never vmapped); the rest
 # of the pipeline vmaps normally.
 def encode_gop_batch(i_frames, p_frames, cfg: CodecConfig) -> EncodedGOP:
-    """i_frames [B, 3, H, W]; p_frames [B, P, 3, H, W] (planar, any int
-    dtype — uint8 uploads minimize host->device traffic)."""
+    """i_frames [B, 3, H, W]; p_frames [B, F, 3, H, W]: all non-I frames in
+    display order (planar, any int dtype — uint8 uploads minimize
+    host->device traffic).
+
+    A B-bearing pattern is only used when the GOP is complete
+    (F == gop_len-1); shorter tail GOPs are coded all-P (b fields None)."""
     i_frames = i_frames.astype(jnp.int32)
     p_frames = p_frames.astype(jnp.int32)
-    mv = _search_gops(p_frames, i_frames, cfg)          # [B, P, nbh, nbw, 2]
-    if not cfg.with_residual:
+    use_b = cfg.has_b and p_frames.shape[1] == cfg.gop_len - 1
+    if use_b:
+        _, _, _, _, p_sel, b_sel = gop_layout(cfg.gop_pattern)
+        p_f = p_frames[:, np.array(p_sel)]
+    else:
+        p_f = p_frames
+    mv = _search_gops(p_f, i_frames, cfg)               # [B, NP, nbh, nbw, 2]
+    if not cfg.with_residual and not use_b:
         return EncodedGOP(i_frame=i_frames, mv=mv, residuals=None)
 
-    def finish(i_frame, p_f, m):
-        recon = jax.vmap(lambda mm: motion.motion_compensate(
-            mm, i_frame, cfg.block_size))(m)
-        if cfg.with_dct and cfg.quant_mode == "rounded":
-            return dct_compress_residual_signed(p_f - recon, cfg)
-        resid = motion.residuals_wrap(p_f, recon)
-        if cfg.with_dct:
-            resid = dct_compress_residual(resid, cfg)
-        return resid
+    def finish_p(i_frame, pf, m):
+        recon = _compensate_stack(m, i_frame, cfg.block_size)
+        resid = _encode_residual(pf, recon, cfg)
+        if not use_b:
+            return resid, None
+        # closed loop: B frames reference the *decoded* anchors, so encoder
+        # and decoder predictions agree even under lossy quantization
+        return resid, _apply_residual(recon, resid, cfg)
 
-    resid = jax.vmap(finish)(i_frames, p_frames, mv)
-    return EncodedGOP(i_frame=i_frames, mv=mv, residuals=resid)
+    resid, dec_p = jax.vmap(finish_p)(i_frames, p_f, mv)
+    if not use_b:
+        return EncodedGOP(i_frame=i_frames, mv=mv, residuals=resid)
+
+    b_f = p_frames[:, np.array(b_sel)]                  # [B, NB, C, H, W]
+    anchors = jnp.concatenate([i_frames[:, None], dec_p], axis=1)
+    bb, nb = b_f.shape[:2]
+    _, _, prev_slot, next_slot, _, _ = gop_layout(cfg.gop_pattern)
+    prev_r = anchors[:, np.array(prev_slot)].reshape(bb * nb, *b_f.shape[2:])
+    next_r = anchors[:, np.array(next_slot)].reshape(bb * nb, *b_f.shape[2:])
+    # flatten (gop, b-frame) into the batched-search gop axis (pallas grid)
+    bf_flat = b_f.reshape(bb * nb, 1, *b_f.shape[2:])
+    mv_f = _search_gops(bf_flat, prev_r, cfg)[:, 0]
+    mv_b = _search_gops(bf_flat, next_r, cfg)[:, 0]
+    pred_f = _compensate_stack(mv_f, prev_r, cfg.block_size)
+    pred_b = _compensate_stack(mv_b, next_r, cfg.block_size)
+    mode, pred = _b_mode_select(b_f.reshape(bb * nb, *b_f.shape[2:]),
+                                pred_f, pred_b, cfg.block_size)
+    b_resid = _encode_residual(b_f.reshape(bb * nb, *b_f.shape[2:]),
+                               pred, cfg)
+    unflat = lambda x: None if x is None else x.reshape(bb, nb, *x.shape[1:])
+    b_mv = jnp.stack([mv_f, mv_b], axis=1)              # [B*NB, 2, nbh, nbw, 2]
+    b_mv = b_mv.reshape(bb, nb, *b_mv.shape[1:])
+    return EncodedGOP(i_frame=i_frames, mv=mv, residuals=resid,
+                      b_mv=b_mv, b_mode=unflat(mode), b_residuals=unflat(b_resid))
 
 
 def decode_gop_batch(gop: EncodedGOP, cfg: CodecConfig) -> jnp.ndarray:
