@@ -55,6 +55,43 @@ def test_sad_kernel_batch_matches_xla(rng, interpret_pallas):
         np.testing.assert_array_equal(got[i][valid], want[valid])
 
 
+@pytest.mark.parametrize("h,w,reach", [(64, 64, 16), (48, 80, 16),
+                                       (64, 128, 8)])
+def test_compensate_kernel_matches_gather(rng, interpret_pallas, h, w, reach):
+    """Pallas compensation == per-block dynamic_slice gather for arbitrary
+    in-window displacements."""
+    MP = interpret_pallas
+    bs, g, f = 8, 2, 3
+    nbh, nbw = h // bs, w // bs
+    refs = jnp.asarray(rng.integers(0, 256, (g, 3, h, w)), jnp.int32)
+    # displacements anywhere in [-reach, reach], clamped to stay in frame
+    mv = rng.integers(-reach, reach + 1, (g, f, nbh, nbw, 2))
+    ci = np.arange(nbh)[:, None] * bs
+    cj = np.arange(nbw)[None, :] * bs
+    mv[..., 1] = np.clip(mv[..., 1], -ci, h - bs - ci)
+    mv[..., 0] = np.clip(mv[..., 0], -cj, w - bs - cj)
+    mv = jnp.asarray(mv, jnp.int32)
+    got = np.asarray(MP.motion_compensate_pallas_gops(mv, refs, bs, reach))
+    want = np.asarray(M.motion_compensate_gops(mv, refs, bs=bs, reach=reach,
+                                               backend="xla"))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_compensate_kernel_on_search_output(rng, interpret_pallas):
+    """Kernel fed by real search output (exercises static/fallback MVs)."""
+    MP = interpret_pallas
+    h, w, bs = 64, 64, 8
+    ref_hwc = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    cur_hwc = np.roll(ref_hwc, (5, -7), axis=(0, 1))
+    refs = jnp.asarray(np.moveaxis(ref_hwc, -1, 0), jnp.int32)[None]
+    curs = jnp.asarray(np.moveaxis(cur_hwc, -1, 0), jnp.int32)[None, None]
+    mv = M.motion_search_gops(curs, refs, backend="xla")    # [1,1,nbh,nbw,2]
+    got = np.asarray(MP.motion_compensate_pallas_gops(mv, refs, bs, 16))
+    want = np.asarray(M.motion_compensate_gops(mv, refs, bs=bs, reach=16,
+                                               backend="xla"))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_motion_search_batch_pallas_backend(rng, interpret_pallas):
     """Full stitched search through the pallas path == reference oracle."""
     import sys

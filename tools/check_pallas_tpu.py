@@ -23,9 +23,14 @@ def main():
         refs = jnp.asarray(rng.integers(0, 256, (b, 3, h, w)), jnp.int32)
         mv_p = np.asarray(M.motion_search_gops(curs, refs, backend="pallas"))
         mv_x = np.asarray(M.motion_search_gops(curs, refs, backend="xla"))
-        assert np.array_equal(mv_p, mv_x), f"mismatch at {b}x{f}x{h}x{w}"
+        assert np.array_equal(mv_p, mv_x), f"search mismatch {b}x{f}x{h}x{w}"
+        rec_p = np.asarray(M.motion_compensate_gops(
+            jnp.asarray(mv_p), refs, bs=8, reach=16, backend="pallas"))
+        rec_x = np.asarray(M.motion_compensate_gops(
+            jnp.asarray(mv_p), refs, bs=8, reach=16, backend="xla"))
+        assert np.array_equal(rec_p, rec_x), f"comp mismatch {b}x{f}x{h}x{w}"
         print(f"ok {b}x{f} {h}x{w}")
-    print("pallas kernel bit-exact on TPU")
+    print("pallas kernels (search + compensate) bit-exact on TPU")
 
 
 if __name__ == "__main__":

@@ -192,13 +192,17 @@ def _search_gops(p_b, i_b, cfg: CodecConfig):
         step=cfg.search_step, static_threshold=cfg.static_threshold)
 
 
-def _compensate_stack(mv, refs, bs):
-    """mv [F, nbh, nbw, 2] against per-frame refs [F, C, H, W] (or one shared
-    ref [C, H, W]) -> predictions [F, C, H, W]."""
-    if refs.ndim == 3:
-        return jax.vmap(lambda m: motion.motion_compensate(m, refs, bs))(mv)
-    return jax.vmap(motion.motion_compensate, in_axes=(0, 0, None))(
-        mv, refs, bs)
+def _compensate_gops(mv, refs, cfg: CodecConfig):
+    """Batched compensation [B, F, nbh, nbw, 2] x [B, C, H, W] ->
+    [B, F, C, H, W] (Pallas kernel on TPU; never under vmap)."""
+    return motion.motion_compensate_gops(mv, refs, bs=cfg.block_size,
+                                         reach=cfg.search_reach)
+
+
+def _compensate_frames(mv, refs, cfg: CodecConfig):
+    """Per-frame refs: mv [N, nbh, nbw, 2] x refs [N, C, H, W] ->
+    [N, C, H, W]."""
+    return _compensate_gops(mv[:, None], refs, cfg)[:, 0]
 
 
 def _b_mode_select(b_frames, pred_f, pred_b, bs):
@@ -219,38 +223,25 @@ def _b_mode_select(b_frames, pred_f, pred_b, bs):
     return mode, pred
 
 
-def _b_predict_decode(anchors, b_mv, b_mode, cfg: CodecConfig):
-    """Decoder-side B prediction from decoded anchor frames [NA, C, H, W]."""
+def _b_predict_batch(anchors, b_mv, b_mode, cfg: CodecConfig):
+    """Decoder-side B prediction, GOP-batched: anchors [B, NA, C, H, W],
+    b_mv [B, NB, 2, nbh, nbw, 2], b_mode [B, NB, nbh, nbw]
+    -> [B*NB, C, H, W] (flattened (gop, b-frame) axis)."""
     _, _, prev_slot, next_slot, _, _ = gop_layout(cfg.gop_pattern)
     bs = cfg.block_size
-    prev_r = anchors[np.array(prev_slot)]
-    next_r = anchors[np.array(next_slot)]
-    pred_f = _compensate_stack(b_mv[:, 0], prev_r, bs)
-    pred_b = _compensate_stack(b_mv[:, 1], next_r, bs)
+    bb, nb = b_mv.shape[:2]
+    fsh = anchors.shape[2:]
+    prev_r = anchors[:, np.array(prev_slot)].reshape(bb * nb, *fsh)
+    next_r = anchors[:, np.array(next_slot)].reshape(bb * nb, *fsh)
+    mv = b_mv.reshape(bb * nb, *b_mv.shape[2:])
+    pred_f = _compensate_frames(mv[:, 0], prev_r, cfg)
+    pred_b = _compensate_frames(mv[:, 1], next_r, cfg)
     pred_bi = (pred_f + pred_b + 1) >> 1
-    mpix = jnp.repeat(jnp.repeat(b_mode, bs, axis=-2), bs, axis=-1)
+    mode = b_mode.reshape(bb * nb, *b_mode.shape[2:])
+    mpix = jnp.repeat(jnp.repeat(mode, bs, axis=-2), bs, axis=-1)
     mpix = mpix[:, None].astype(jnp.int32)
     return jnp.where(mpix == 0, pred_f,
                      jnp.where(mpix == 1, pred_b, pred_bi))
-
-
-def _encode_b_frames(b_frames, anchors, cfg: CodecConfig):
-    """Bidirectional coding of the GOP's B frames against decoded anchors.
-
-    b_frames [NB, C, H, W]; anchors [NA, C, H, W] (decoded, so the encoder's
-    references match the decoder's — closed loop).
-    -> (b_mv [NB, 2, nbh, nbw, 2], b_mode [NB, nbh, nbw], b_resid)."""
-    _, _, prev_slot, next_slot, _, _ = gop_layout(cfg.gop_pattern)
-    bs = cfg.block_size
-    prev_r = anchors[np.array(prev_slot)]
-    next_r = anchors[np.array(next_slot)]
-    mv_f = _search_gops(b_frames[:, None], prev_r, cfg)[:, 0]
-    mv_b = _search_gops(b_frames[:, None], next_r, cfg)[:, 0]
-    pred_f = _compensate_stack(mv_f, prev_r, bs)
-    pred_b = _compensate_stack(mv_b, next_r, bs)
-    mode, pred = _b_mode_select(b_frames, pred_f, pred_b, bs)
-    resid = _encode_residual(b_frames, pred, cfg)
-    return jnp.stack([mv_f, mv_b], axis=1), mode, resid
 
 
 def encode_gop(i_frame: jnp.ndarray, p_frames: jnp.ndarray,
@@ -275,19 +266,8 @@ def decode_gop(gop: EncodedGOP, cfg: CodecConfig) -> jnp.ndarray:
 
     Mirrors `Decoder.reconstruct_video` I-passthrough (decoder.py:35-39) and
     `_reconstruct_P_frame` (decoder.py:62-69); adds B reconstruction."""
-    i_frame = gop.i_frame.astype(jnp.int32)
-    recon = _compensate_stack(gop.mv, i_frame, cfg.block_size)
-    out_p = _apply_residual(recon, gop.residuals, cfg)
-    if gop.b_mv is None:
-        return jnp.concatenate([i_frame[None], out_p], axis=0)
-    anchor_pos, b_pos, _, _, _, _ = gop_layout(cfg.gop_pattern)
-    anchors = jnp.concatenate([i_frame[None], out_p], axis=0)
-    pred = _b_predict_decode(anchors, gop.b_mv, gop.b_mode, cfg)
-    out_b = _apply_residual(pred, gop.b_residuals, cfg)
-    c, h, w = i_frame.shape
-    out = jnp.zeros((cfg.gop_len, c, h, w), jnp.int32)
-    out = out.at[np.array(anchor_pos)].set(anchors)
-    return out.at[np.array(b_pos)].set(out_b)
+    out = decode_gop_batch(jax.tree.map(lambda x: x[None], gop), cfg)
+    return out[0]
 
 
 # Batched-over-GOPs variants: the TPU-efficient entry points. Leading axis is
@@ -313,18 +293,13 @@ def encode_gop_batch(i_frames, p_frames, cfg: CodecConfig) -> EncodedGOP:
     if not cfg.with_residual and not use_b:
         return EncodedGOP(i_frame=i_frames, mv=mv, residuals=None)
 
-    def finish_p(i_frame, pf, m):
-        recon = _compensate_stack(m, i_frame, cfg.block_size)
-        resid = _encode_residual(pf, recon, cfg)
-        if not use_b:
-            return resid, None
-        # closed loop: B frames reference the *decoded* anchors, so encoder
-        # and decoder predictions agree even under lossy quantization
-        return resid, _apply_residual(recon, resid, cfg)
-
-    resid, dec_p = jax.vmap(finish_p)(i_frames, p_f, mv)
+    recon = _compensate_gops(mv, i_frames, cfg)         # [B, NP, C, H, W]
+    resid = _encode_residual(p_f, recon, cfg)
     if not use_b:
         return EncodedGOP(i_frame=i_frames, mv=mv, residuals=resid)
+    # closed loop: B frames reference the *decoded* anchors, so encoder
+    # and decoder predictions agree even under lossy quantization
+    dec_p = _apply_residual(recon, resid, cfg)
 
     b_f = p_frames[:, np.array(b_sel)]                  # [B, NB, C, H, W]
     anchors = jnp.concatenate([i_frames[:, None], dec_p], axis=1)
@@ -336,8 +311,8 @@ def encode_gop_batch(i_frames, p_frames, cfg: CodecConfig) -> EncodedGOP:
     bf_flat = b_f.reshape(bb * nb, 1, *b_f.shape[2:])
     mv_f = _search_gops(bf_flat, prev_r, cfg)[:, 0]
     mv_b = _search_gops(bf_flat, next_r, cfg)[:, 0]
-    pred_f = _compensate_stack(mv_f, prev_r, cfg.block_size)
-    pred_b = _compensate_stack(mv_b, next_r, cfg.block_size)
+    pred_f = _compensate_frames(mv_f, prev_r, cfg)
+    pred_b = _compensate_frames(mv_b, next_r, cfg)
     mode, pred = _b_mode_select(b_f.reshape(bb * nb, *b_f.shape[2:]),
                                 pred_f, pred_b, cfg.block_size)
     b_resid = _encode_residual(b_f.reshape(bb * nb, *b_f.shape[2:]),
@@ -350,7 +325,27 @@ def encode_gop_batch(i_frames, p_frames, cfg: CodecConfig) -> EncodedGOP:
 
 
 def decode_gop_batch(gop: EncodedGOP, cfg: CodecConfig) -> jnp.ndarray:
-    return jax.vmap(lambda g: decode_gop(g, cfg))(gop)
+    """Decode a batch of GOPs -> [B, gop_len, 3, H, W] int32, display order.
+
+    Fully batched (compensation runs the Pallas kernel once over all GOPs,
+    never under vmap)."""
+    i_frames = gop.i_frame.astype(jnp.int32)            # [B, C, H, W]
+    recon = _compensate_gops(gop.mv, i_frames, cfg)
+    out_p = _apply_residual(recon, gop.residuals, cfg)
+    anchors = jnp.concatenate([i_frames[:, None], out_p], axis=1)
+    if gop.b_mv is None:
+        return anchors
+    anchor_pos, b_pos, _, _, _, _ = gop_layout(cfg.gop_pattern)
+    bb, nb = gop.b_mv.shape[:2]
+    fsh = anchors.shape[2:]
+    pred = _b_predict_batch(anchors, gop.b_mv, gop.b_mode, cfg)
+    b_res = gop.b_residuals
+    if b_res is not None:
+        b_res = b_res.reshape(bb * nb, *b_res.shape[2:])
+    out_b = _apply_residual(pred, b_res, cfg).reshape(bb, nb, *fsh)
+    out = jnp.zeros((bb, cfg.gop_len, *fsh), jnp.int32)
+    out = out.at[:, np.array(anchor_pos)].set(anchors)
+    return out.at[:, np.array(b_pos)].set(out_b)
 
 
 @functools.lru_cache(maxsize=None)

@@ -359,6 +359,33 @@ def motion_compensate(mv: jnp.ndarray, ref: jnp.ndarray, bs: int) -> jnp.ndarray
     return blocks.transpose(2, 0, 3, 1, 4).reshape(c, h, w)
 
 
+@functools.partial(jax.jit, static_argnames=("bs", "reach", "backend"))
+def motion_compensate_gops(mv: jnp.ndarray, refs: jnp.ndarray, *, bs: int,
+                           reach: int, backend: str = "auto") -> jnp.ndarray:
+    """Batched motion compensation: mv [G, F, nbh, nbw, 2] against shared
+    per-GOP refs [G, C, H, W] -> [G, F, C, H, W] int32.
+
+    On TPU this runs the branchless Pallas kernel (strip-resident column
+    one-hot MXU mix + row select) instead of the per-block gather. The kernel
+    requires |displacement| <= reach on both axes, which `select_mvs` output
+    always satisfies: a chosen candidate position lies in the clamped window
+    [max(c-reach, 0), min(c+reach, extent)); the static override is d = 0;
+    and the (0, 0)-fallback (motion.py:102,122) can only fire when every
+    candidate is invalid, which requires c <= reach on that axis (for
+    c > reach the in-window candidate at p = c always satisfies p + bs < hi),
+    so its displacement -c is also within reach."""
+    use_pallas = (backend == "pallas"
+                  or (backend == "auto" and use_pallas_default()))
+    if use_pallas:
+        from vcs_h264_tpu.ops.motion_pallas import (
+            motion_compensate_pallas_gops)
+        return motion_compensate_pallas_gops(mv, refs.astype(jnp.int32),
+                                             bs, reach)
+    comp = lambda m, r: motion_compensate(m, r, bs)
+    return jax.vmap(jax.vmap(comp, in_axes=(0, None)))(
+        mv, refs.astype(jnp.int32))
+
+
 def residuals_wrap(cur: jnp.ndarray, recon: jnp.ndarray) -> jnp.ndarray:
     """uint8-wrapping residual (ref: motion.py:38-40 on uint8 arrays)."""
     return (cur - recon) & 255

@@ -131,6 +131,103 @@ def sad_candidates_pallas(cur: jnp.ndarray, ref: jnp.ndarray,
     return sad_candidates_pallas_batch(cur[None], ref, plan)[0]
 
 
+# ---------------------------------------------------------------------------
+# Motion compensation: recon[y, x] = ref[y + dy(block), x + dx(block)].
+#
+# The XLA formulation (vmap(dynamic_slice) per block, ops/motion.py
+# motion_compensate) lowers to a per-block gather — measured ~35 ms for 48
+# 640x360 frames, the single most expensive op of the fused pipeline. This
+# kernel is branchless instead: per (gop, block-row) program it holds the
+# 40-row reference strip rows [ci-reach, ci+reach+bs) in VMEM (5 aligned
+# row-octet DMAs), mixes columns with a one-hot [Wp, W] matrix on the MXU
+# (bf16 exact: one-hot weights and uint8-range values are both 8-bit
+# significands; f32 accumulate), and resolves the per-block row offset with
+# a 2*reach+1-way masked select. No gather anywhere.
+#
+# Validity precondition (guaranteed by the search, see
+# motion.motion_compensate_gops): every displacement satisfies |d| <= reach,
+# so strip row reach + d + u stays inside [0, bs + 2*reach).
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _comp_kernel(dipix_ref, djpix_ref, *refs_and_out, k_oct, bs, reach, pad,
+                 w, c, f):
+    """dipix/djpix [1, 1, F, W] i32; k_oct octet refs [1, C, bs, Wpp] i32;
+    out [1, F, C, 1, bs, W] i32. `pad` = bs-aligned row/col padding of the
+    reference; strip row r holds ref row ci - pad + r."""
+    oct_refs = refs_and_out[:k_oct]
+    out_ref = refs_and_out[k_oct]
+    strip = jnp.concatenate([r[0] for r in oct_refs], axis=1)  # [C, rows, Wpp]
+    rows = k_oct * bs
+    wpp = strip.shape[-1]
+    sb = strip.astype(jnp.bfloat16).reshape(c * rows, wpp)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (wpp, w), 0)
+    xd = jax.lax.broadcasted_iota(jnp.int32, (wpp, w), 1)
+    for fi in range(f):
+        dj = djpix_ref[0, 0, fi]                               # [W]
+        m = (xs == xd + dj[None, :] + pad).astype(jnp.bfloat16)
+        t = jax.lax.dot_general(
+            sb, m, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # [C*rows, W]
+        t = t.reshape(c, rows, w)
+        di = dipix_ref[0, 0, fi][None, None, :]                # [1, 1, W]
+        acc = jnp.zeros((c, bs, w), jnp.float32)
+        for d in range(-reach, reach + 1):
+            seg = jax.lax.slice(t, (0, pad + d, 0),
+                                (c, pad + d + bs, w))
+            acc = jnp.where(di == d, seg, acc)
+        out_ref[0, fi, :, 0] = acc.astype(jnp.int32)
+
+
+def motion_compensate_pallas_gops(mv: jnp.ndarray, refs: jnp.ndarray,
+                                  bs: int, reach: int) -> jnp.ndarray:
+    """mv [G, F, nbh, nbw, 2] (dx, dy); refs [G, C, H, W] int32 ->
+    recon [G, F, C, H, W] int32. Requires |mv| <= reach componentwise."""
+    g, f, nbh, nbw = mv.shape[:4]
+    c, h, w = refs.shape[1:]
+    pad_top = _round_up(reach, bs)      # strip starts bs-aligned at ci-pad_top
+    # octets covering strip rows [0, pad_top + reach + bs)
+    k_oct = -(-(pad_top + reach + bs) // bs)
+    pad_bot = k_oct * bs - bs - pad_top             # last octet in range
+    # columns padded by pad_top on the left so the kernel uses ONE offset for
+    # both axes (pad_top == reach whenever reach is a block multiple)
+    wpp = _round_up(w + 2 * pad_top, 128)
+    refp = jnp.pad(refs.astype(jnp.int32),
+                   ((0, 0), (0, 0), (pad_top, pad_bot),
+                    (pad_top, wpp - w - pad_top)))
+
+    # per-destination-pixel displacements (block-constant along each bs run),
+    # laid out [G, nbh, F, W] so the per-program block is (1, 1, F, W)
+    dipix = jnp.repeat(mv[..., 1], bs, axis=-1).astype(jnp.int32)
+    djpix = jnp.repeat(mv[..., 0], bs, axis=-1).astype(jnp.int32)
+    dipix = dipix.transpose(0, 2, 1, 3)                        # [G,nbh,F,W]
+    djpix = djpix.transpose(0, 2, 1, 3)
+
+    kernel = functools.partial(_comp_kernel, k_oct=k_oct, bs=bs, reach=reach,
+                               pad=pad_top, w=w, c=c, f=f)
+    pix_spec = pl.BlockSpec((1, 1, f, w), lambda gi, bi: (gi, bi, 0, 0),
+                            memory_space=pltpu.VMEM)
+    oct_specs = [
+        pl.BlockSpec((1, c, bs, wpp),
+                     functools.partial(lambda gi, bi, q: (gi, 0, bi + q, 0),
+                                       q=q),
+                     memory_space=pltpu.VMEM)
+        for q in range(k_oct)]
+    out = pl.pallas_call(
+        kernel,
+        grid=(g, nbh),
+        in_specs=[pix_spec, pix_spec] + oct_specs,
+        out_specs=pl.BlockSpec((1, f, c, 1, bs, w),
+                               lambda gi, bi: (gi, 0, 0, bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, f, c, nbh, bs, w), jnp.int32),
+    )(dipix, djpix, *([refp] * k_oct))
+    return out.reshape(g, f, c, h, w)
+
+
 def _sad_kernel_gops(imin_ref, cur_ref, phase_ref, sel_ref, out_ref, acc_ref,
                      *, k, step, reach, bs, w, c, f, pad):
     """Multi-GOP variant: same as _sad_kernel, but the leading grid axis
