@@ -32,6 +32,20 @@ def _descale(x: jnp.ndarray) -> jnp.ndarray:
     return (x + _HALF) >> _SHIFT
 
 
+# float32 fast path: int32 multiplies are multi-pass on the TPU VPU (measured
+# ~27 ms per bgr->ycrcb over 48 640x360 frames, dominating the residual-DCT
+# stage), while f32 multiplies are single-pass. Every fixed-point
+# intermediate here is an integer of magnitude < 2^23 (max |product sum| =
+# 255 * 16384 = 4.2e6), so f32 arithmetic is EXACT and `floor` reproduces the
+# arithmetic right shift (floor division) for both signs. Bit-exactness vs
+# cv2 is asserted in tests/test_color.py.
+
+
+def _descale_f(x: jnp.ndarray) -> jnp.ndarray:
+    """f32 equivalent of (x + HALF) >> SHIFT for exact-integer-valued x."""
+    return jnp.floor((x + float(_HALF)) * (1.0 / (1 << _SHIFT)))
+
+
 def bgr_to_ycrcb(bgr: jnp.ndarray) -> jnp.ndarray:
     """uint8/int BGR [..., 3] -> uint8-valued int32 YCrCb [..., 3].
 
@@ -63,28 +77,33 @@ def ycrcb_to_bgr(ycrcb: jnp.ndarray) -> jnp.ndarray:
 def bgr_to_ycrcb_planes(x: jnp.ndarray) -> jnp.ndarray:
     """Planar [..., 3, H, W] BGR -> planar [..., 3, H, W] YCrCb (int32).
 
-    Same fixed-point math as bgr_to_ycrcb, in the TPU-native planar layout
-    (channel as a leading axis; W on lanes)."""
-    x = x.astype(jnp.int32)
+    Same fixed-point math as bgr_to_ycrcb (bit-exact with cv2), computed in
+    the f32 fast path, in the TPU-native planar layout (channel as a leading
+    axis; W on lanes)."""
+    x = x.astype(jnp.float32)
     b = x[..., 0, :, :]
     g = x[..., 1, :, :]
     r = x[..., 2, :, :]
-    y = _descale(r * _R2Y + g * _G2Y + b * _B2Y)
-    cr = _descale((r - y) * _CR_COEF + (128 << _SHIFT))
-    cb = _descale((b - y) * _CB_COEF + (128 << _SHIFT))
-    return jnp.clip(jnp.stack([y, cr, cb], axis=-3), 0, 255)
+    y = _descale_f(r * _R2Y + g * _G2Y + b * _B2Y)
+    cr = _descale_f((r - y) * _CR_COEF + float(128 << _SHIFT))
+    cb = _descale_f((b - y) * _CB_COEF + float(128 << _SHIFT))
+    out = jnp.clip(jnp.stack([y, cr, cb], axis=-3), 0, 255)
+    return out.astype(jnp.int32)
 
 
 def ycrcb_to_bgr_planes(x: jnp.ndarray) -> jnp.ndarray:
-    """Planar [..., 3, H, W] YCrCb -> planar [..., 3, H, W] BGR (int32)."""
-    x = x.astype(jnp.int32)
+    """Planar [..., 3, H, W] YCrCb -> planar [..., 3, H, W] BGR (int32).
+
+    f32 fast path, bit-exact with cv2.COLOR_YCR_CB2BGR."""
+    x = x.astype(jnp.float32)
     y = x[..., 0, :, :]
     cr = x[..., 1, :, :]
     cb = x[..., 2, :, :]
-    b = y + _descale((cb - 128) * _CB2B)
-    g = y + _descale((cb - 128) * _CB2G + (cr - 128) * _CR2G)
-    r = y + _descale((cr - 128) * _CR2R)
-    return jnp.clip(jnp.stack([b, g, r], axis=-3), 0, 255)
+    b = y + _descale_f((cb - 128) * _CB2B)
+    g = y + _descale_f((cb - 128) * _CB2G + (cr - 128) * _CR2G)
+    r = y + _descale_f((cr - 128) * _CR2R)
+    out = jnp.clip(jnp.stack([b, g, r], axis=-3), 0, 255)
+    return out.astype(jnp.int32)
 
 
 def ycrcb_to_rgb_float(y: jnp.ndarray, cr: jnp.ndarray, cb: jnp.ndarray):
