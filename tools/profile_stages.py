@@ -1,0 +1,97 @@
+"""Per-stage device-time profile of the codec pipeline on real video.
+
+Each stage is timed as ONE jitted dispatch running N iterations in a
+lax.fori_loop (same technique as bench.py), so the dev tunnel's ~25 ms
+synchronous per-RPC floor does not pollute the numbers. Prints ms per
+64-frame iteration for: motion search, motion compensation, residual
+DCT encode, residual DCT encode+decode, full encode, full encode+decode.
+
+Run: python tools/profile_stages.py
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+VIDEO = "/root/reference/videos/slow_traffic_small.mp4"
+N_FRAMES = 64
+N_ITERS = 16
+
+
+def main():
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from vcs_h264_tpu.config import CodecConfig
+    from vcs_h264_tpu.models import pipeline
+    from vcs_h264_tpu.ops import motion
+
+    cap = cv2.VideoCapture(VIDEO)
+    frames = []
+    while len(frames) < N_FRAMES:
+        ok, f = cap.read()
+        if not ok:
+            break
+        frames.append(f)
+    cap.release()
+    cfg = CodecConfig()
+    arr = np.stack(frames).transpose(0, 3, 1, 2).astype(np.int32)
+    g = cfg.gop_len
+    b = len(frames) // g
+    i_b = jnp.asarray(arr[::g][:b])
+    p_b = jnp.asarray(np.stack([arr[k * g + 1:k * g + g] for k in range(b)]))
+
+    mv0 = jax.jit(lambda i, p: motion.motion_search_gops(
+        p, i, bs=cfg.block_size, reach=cfg.search_reach, step=cfg.search_step,
+        static_threshold=cfg.static_threshold))(i_b, p_b)
+    mv0 = jax.block_until_ready(mv0)
+    recon0 = jax.block_until_ready(
+        jax.jit(lambda m, i: motion.motion_compensate_gops(
+            m, i, bs=cfg.block_size, reach=cfg.search_reach))(mv0, i_b))
+
+    def loop(body):
+        @jax.jit
+        def run():
+            return lax.fori_loop(0, N_ITERS, body, jnp.int32(0))
+        return run
+
+    stages = {
+        "search": loop(lambda it, acc: acc + jnp.sum(
+            motion.motion_search_gops(
+                jnp.roll(p_b, it & 7, axis=-1), i_b, bs=cfg.block_size,
+                reach=cfg.search_reach, step=cfg.search_step,
+                static_threshold=cfg.static_threshold))),
+        "compensate": loop(lambda it, acc: acc + jnp.sum(
+            motion.motion_compensate_gops(
+                jnp.roll(mv0, it & 1, axis=2), i_b, bs=cfg.block_size,
+                reach=cfg.search_reach))),
+        "resid_dct_enc": loop(lambda it, acc: acc + jnp.sum(
+            pipeline.dct_compress_residual(
+                motion.residuals_wrap(jnp.roll(p_b, it & 7, axis=-1), recon0),
+                cfg)).astype(jnp.int32)),
+        "resid_dct_encdec": loop(lambda it, acc: acc + jnp.sum(
+            pipeline.dct_decompress_residual(
+                pipeline.dct_compress_residual(
+                    motion.residuals_wrap(jnp.roll(p_b, it & 7, axis=-1),
+                                          recon0), cfg), cfg))),
+        "encode": loop(lambda it, acc: acc + jnp.sum(
+            pipeline.encode_gop_batch(
+                i_b, jnp.roll(p_b, it & 7, axis=-1), cfg).mv)),
+        "encode+decode": loop(lambda it, acc: acc + jnp.sum(
+            pipeline.decode_gop_batch(pipeline.encode_gop_batch(
+                i_b, jnp.roll(p_b, it & 7, axis=-1), cfg), cfg))),
+    }
+    for name, fn in stages.items():
+        _ = int(fn())      # compile + warm
+        t0 = time.perf_counter()
+        _ = int(fn())
+        dt = (time.perf_counter() - t0) / N_ITERS * 1e3
+        print(f"{name:18s} {dt:7.2f} ms / {N_FRAMES} frames")
+
+
+if __name__ == "__main__":
+    main()
