@@ -87,3 +87,61 @@ def test_vcs_container_no_dct(tmp_path, rng):
     # wrap-residual coding is lossless
     for g, f in zip(got, frames):
         np.testing.assert_array_equal(g, f)
+
+
+def test_vcs_container_lossy_intra(tmp_path, rng):
+    """Lossy-intra production stream: container decode is bit-exact vs the
+    in-memory decode (the payload, not a re-encode, is serialized), and the
+    file is smaller than the lossless-intra container."""
+    from vcs_h264_tpu.config import CodecConfig
+    from vcs_h264_tpu.models import Encoder, Decoder
+    import cv2
+
+    img = cv2.imread("/root/reference/images/happy-corgi.jpg")
+    if img is None:
+        img = rng.integers(0, 256, (64, 80, 3), dtype=np.uint8)
+    base = img[:96, :128]
+    frames = [np.roll(base, (t, 2 * t), axis=(0, 1)) for t in range(8)]
+
+    sizes = {}
+    for qstep in (0, 8):
+        cfg = CodecConfig.production(intra_qstep=qstep)
+        video = Encoder(cfg, gop_batch=2).encode_frames(frames)
+        path = str(tmp_path / f"q{qstep}.vcs")
+        bs.save_vcs(video, path)
+        loaded = bs.load_vcs(path)
+        assert loaded.config.intra_qstep == qstep
+        got = Decoder().decode(loaded)
+        want = Decoder().decode(video)
+        for a, b in zip(got, want):
+            np.testing.assert_array_equal(a, b)
+        if qstep:
+            # loaded I-frame equals the recon the P-frames referenced
+            np.testing.assert_array_equal(
+                np.asarray(loaded.gops[0].i_frame),
+                np.asarray(video.gops[0].i_frame))
+        import os
+        sizes[qstep] = os.path.getsize(path)
+    assert sizes[8] < sizes[0], sizes
+
+
+def test_vcs_lossy_intra_survives_checkpoint(tmp_path, rng):
+    """Resume from per-GOP checkpoints preserves the intra payload, so a
+    re-saved container still decodes bit-exactly."""
+    from vcs_h264_tpu.config import CodecConfig
+    from vcs_h264_tpu.models import Encoder, Decoder
+
+    base = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    frames = [np.roll(base, (t, t), axis=(0, 1)) for t in range(8)]
+    cfg = CodecConfig.production(intra_qstep=4)
+    ck = str(tmp_path / "ck")
+    v1 = Encoder(cfg, gop_batch=2).encode_frames(frames, checkpoint_dir=ck)
+    v2 = Encoder(cfg, gop_batch=2).encode_frames(frames, checkpoint_dir=ck)
+    assert v2.gops[0].i_qcoef is not None
+    p1, p2 = str(tmp_path / "a.vcs"), str(tmp_path / "b.vcs")
+    bs.save_vcs(v1, p1)
+    bs.save_vcs(v2, p2)
+    got1 = Decoder().decode(bs.load_vcs(p1))
+    got2 = Decoder().decode(bs.load_vcs(p2))
+    for a, b in zip(got1, got2):
+        np.testing.assert_array_equal(a, b)

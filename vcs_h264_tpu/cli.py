@@ -25,19 +25,50 @@ def _add_codec_args(p: argparse.ArgumentParser):
     p.add_argument("--no-residual", action="store_true")
     p.add_argument("--quant-mode", choices=["reference", "rounded"],
                    default="reference")
+    p.add_argument("--production", action="store_true",
+                   help="rounded quant + intra-coded I-frames (the real "
+                        "bitstream path; shorthand for CodecConfig."
+                        "production())")
+    p.add_argument("--intra-i", action="store_true",
+                   help="intra-code I-frames (lossless) in the container")
+    p.add_argument("--intra-qstep", type=int, default=0,
+                   help="lossy intra quant step for I-frames (0 = lossless; "
+                        "implies --intra-i)")
     p.add_argument("--gop-batch", type=int, default=8)
     p.add_argument("--max-frames", type=int, default=None)
 
 
 def _cfg(args):
     from vcs_h264_tpu.config import CodecConfig
-    return CodecConfig(
+    kw = dict(
         block_size=args.block_size,
         gop_pattern=tuple(args.gop),
         quality_factor=args.qf,
         with_dct=not args.no_dct and not args.no_residual,
         with_residual=not args.no_residual,
-        quant_mode=args.quant_mode)
+        quant_mode=args.quant_mode,
+        intra_i=args.intra_i or args.intra_qstep > 0,
+        intra_qstep=args.intra_qstep)
+    if args.production:
+        kw["quant_mode"] = "rounded"
+        kw["intra_i"] = True
+    return CodecConfig(**kw)
+
+
+def _save_stream(video, path: str) -> None:
+    if path.endswith(".vcs"):
+        from vcs_h264_tpu.io.bitstream import save_vcs
+        save_vcs(video, path)
+    else:
+        video.save_npz(path)
+
+
+def _load_stream(path: str):
+    if path.endswith(".vcs"):
+        from vcs_h264_tpu.io.bitstream import load_vcs
+        return load_vcs(path)
+    from vcs_h264_tpu.models.gop import EncodedVideo
+    return EncodedVideo.load_npz(path)
 
 
 def cmd_encode(args):
@@ -46,15 +77,18 @@ def cmd_encode(args):
     t0 = time.perf_counter()
     video = enc.encode_video(args.input, max_frames=args.max_frames)
     dt = time.perf_counter() - t0
-    video.save_npz(args.output)
+    _save_stream(video, args.output)
+    import os
+    size = os.path.getsize(args.output)
+    raw = video.num_frames * video.height * video.width * 3
     print(f"encoded {video.num_frames} frames in {dt:.2f}s "
-          f"({video.num_frames / dt:.1f} fps) -> {args.output}")
+          f"({video.num_frames / dt:.1f} fps) -> {args.output} "
+          f"({size} bytes, {raw / max(size, 1):.2f}x vs raw)")
 
 
 def cmd_decode(args):
     from vcs_h264_tpu.models import Decoder
-    from vcs_h264_tpu.models.gop import EncodedVideo
-    video = EncodedVideo.load_npz(args.input)
+    video = _load_stream(args.input)
     t0 = time.perf_counter()
     Decoder(gop_batch=args.gop_batch).decode_to_file(video, args.output)
     dt = time.perf_counter() - t0

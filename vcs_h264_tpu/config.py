@@ -50,6 +50,12 @@ class CodecConfig:
     # in the serialized bitstream instead of storing them raw. The reference
     # never wired its intra study into the codec (SURVEY.md §1 L3).
     intra_i: bool = False
+    # Lossy intra quantization step for I-frames (0 = lossless). When > 0,
+    # I-frames are coded with the H.264 4x4 integer core transform the
+    # reference declared but never used (intraframe.py:14-22,352-358) in a
+    # closed loop: P/B frames reference the lossy reconstruction, so
+    # encode/decode stay bit-consistent. Requires intra_i.
+    intra_qstep: int = 0
 
     # --- compute -------------------------------------------------------------
     dtype: str = "float32"            # transform math dtype on device
@@ -71,6 +77,10 @@ class CodecConfig:
             raise ValueError("quality_factor must be in [1, 99]")
         if self.quant_mode not in ("reference", "rounded"):
             raise ValueError(f"unknown quant_mode {self.quant_mode!r}")
+        if not (0 <= self.intra_qstep <= 255):
+            raise ValueError("intra_qstep must be in [0, 255]")
+        if self.intra_qstep and not self.intra_i:
+            raise ValueError("intra_qstep > 0 requires intra_i=True")
 
     @property
     def gop_len(self) -> int:

@@ -31,7 +31,10 @@ from vcs_h264_tpu.models.gop import EncodedGOP, EncodedVideo
 from vcs_h264_tpu.ops.quant import zigzag_order_np
 
 _MAGIC = b"VCSH264T"
-_VERSION = 4          # v4 adds per-GOP B-frame sections; v3 files still load
+# v4 added per-GOP B-frame sections; v5 adds intra_qstep in the header and a
+# per-GOP I-frame type byte (raw / lossless intra / lossy intra). Older
+# versions still load.
+_VERSION = 5
 
 # ---------------------------------------------------------------------------
 # native library loading (with build-on-demand) + python fallback
@@ -230,11 +233,26 @@ def save_vcs(video: EncodedVideo, path: str) -> None:
         pat = ",".join(cfg.gop_pattern).encode()
         fh.write(struct.pack("<I", len(pat)))
         fh.write(pat)
+        fh.write(struct.pack("<I", cfg.intra_qstep))
         for gop in video.gops:
             i_frame = np.asarray(gop.i_frame, dtype=np.uint8)
             mv = np.asarray(gop.mv, dtype=np.int16)
             fh.write(struct.pack("<III", *i_frame.shape))
-            if cfg.intra_i:
+            # I-frame section type: 2 = lossy intra payload (bit-stable: the
+            # payload from encode time, NOT a re-encode of the recon),
+            # 1 = lossless intra, 0 = raw planes.
+            if gop.i_qcoef is not None and cfg.intra_qstep:
+                fh.write(struct.pack("<B", 2))
+                q_blob = rle_encode(_zigzag_plane(
+                    np.asarray(gop.i_qcoef, np.int16), 4))
+                modes_b = np.asarray(gop.i_modes, np.int8).tobytes()
+                esc = rle_encode(np.asarray(gop.i_escape).astype(np.int16)
+                                 .ravel())
+                fh.write(struct.pack("<QQQ", len(q_blob), len(modes_b),
+                                     len(esc)))
+                fh.write(q_blob); fh.write(modes_b); fh.write(esc)
+            elif cfg.intra_i:
+                fh.write(struct.pack("<B", 1))
                 from vcs_h264_tpu.models.intra_codec import encode_intra_frame
                 intra = encode_intra_frame(i_frame.astype(np.int32))
                 res_blob = rle_encode(np.asarray(intra.residual).ravel())
@@ -245,6 +263,7 @@ def save_vcs(video: EncodedVideo, path: str) -> None:
                                      len(esc)))
                 fh.write(res_blob); fh.write(modes_b); fh.write(esc)
             else:
+                fh.write(struct.pack("<B", 0))
                 fh.write(i_frame.tobytes())
             fh.write(struct.pack("<I", mv.shape[0]))
             mv_blob = rle_encode(mv.ravel())
@@ -288,21 +307,45 @@ def load_vcs(path: str) -> EncodedVideo:
             raise ValueError("not a .vcs file")
         (version, h, w, fps, num_frames, bs, qf, n_gops,
          mode) = struct.unpack("<IIIdIIdII", fh.read(44))
-        if version not in (3, _VERSION):
+        if version not in (3, 4, _VERSION):
             raise ValueError(f"unsupported version {version}")
         (pat_len,) = struct.unpack("<I", fh.read(4))
         pattern = tuple(fh.read(pat_len).decode().split(","))
         intra_i = bool(mode & 4)
         mode &= 3
+        intra_qstep = 0
+        if version >= 5:
+            (intra_qstep,) = struct.unpack("<I", fh.read(4))
         cfg = CodecConfig(block_size=bs, gop_pattern=pattern,
                           quality_factor=qf,
                           with_dct=(mode == 2), with_residual=(mode >= 1),
                           quant_mode="rounded" if mode == 2 else "reference",
-                          intra_i=intra_i)
+                          intra_i=intra_i, intra_qstep=intra_qstep)
         gops = []
         for _ in range(n_gops):
             c, ih, iw = struct.unpack("<III", fh.read(12))
-            if intra_i:
+            if version >= 5:
+                (itype,) = struct.unpack("<B", fh.read(1))
+            else:
+                itype = 1 if intra_i else 0
+            iq = imodes = iesc = None
+            if itype == 2:
+                from vcs_h264_tpu.models.intra_codec import (
+                    IntraFrameLossy, decode_intra_frame_lossy)
+                import jax.numpy as jnp
+                ql, ml, el = struct.unpack("<QQQ", fh.read(24))
+                iq = _unzigzag_plane(
+                    rle_decode(fh.read(ql), c * ih * iw),
+                    (c, ih, iw), 4).astype(np.int16)
+                imodes = np.frombuffer(fh.read(ml), np.int8)
+                imodes = imodes.reshape(c, ih // 4, iw // 4)
+                iesc = rle_decode(fh.read(el), c * (ih // 4) * (iw // 4))
+                iesc = iesc.reshape(c, ih // 4, iw // 4).astype(bool)
+                i_frame = np.asarray(decode_intra_frame_lossy(
+                    IntraFrameLossy(jnp.asarray(iq), jnp.asarray(imodes),
+                                    jnp.asarray(iesc)),
+                    intra_qstep)).astype(np.int32)
+            elif itype == 1:
                 from vcs_h264_tpu.models.intra_codec import (IntraFrame,
                                                              decode_intra_frame)
                 import jax.numpy as jnp
@@ -349,6 +392,7 @@ def load_vcs(path: str) -> EncodedVideo:
                     b_res = read_res(n_b)
             gops.append(EncodedGOP(i_frame=i_frame, mv=mv, residuals=res,
                                    b_mv=b_mv, b_mode=b_mode,
-                                   b_residuals=b_res))
+                                   b_residuals=b_res, i_qcoef=iq,
+                                   i_modes=imodes, i_escape=iesc))
     return EncodedVideo(config=cfg, height=h, width=w, fps=fps,
                         num_frames=num_frames, gops=gops)

@@ -47,6 +47,12 @@ def _save_gop_npz(path: str, gop: EncodedGOP, with_dct: bool) -> None:
         bres = as_res(gop.b_residuals)
         if bres is not None:
             arrays["bres"] = bres
+    if gop.i_qcoef is not None:
+        # the intra payload must survive resume: re-encoding the recon is
+        # not bit-stable, the original encoding is (models/gop.py docstring)
+        arrays["iq"] = np.asarray(gop.i_qcoef, np.int16)
+        arrays["imodes"] = np.asarray(gop.i_modes, np.int8)
+        arrays["iesc"] = np.asarray(gop.i_escape, bool)
     np.savez_compressed(path, **arrays)
 
 
@@ -59,7 +65,10 @@ def _load_gop_npz(path: str) -> EncodedGOP:
                       b_mv=None if bmv is None else bmv.astype(np.int32),
                       b_mode=(data["bmode"].astype(np.int8)
                               if bmv is not None else None),
-                      b_residuals=data["bres"] if "bres" in data else None)
+                      b_residuals=data["bres"] if "bres" in data else None,
+                      i_qcoef=data["iq"] if "iq" in data else None,
+                      i_modes=data["imodes"] if "iq" in data else None,
+                      i_escape=data["iesc"] if "iq" in data else None)
 
 
 class Encoder:
@@ -99,6 +108,21 @@ class Encoder:
         full = [i for i in pending if grouped[i][1].shape[0] == gop_len - 1]
         tail = [i for i in pending if grouped[i][1].shape[0] != gop_len - 1]
 
+        def lossy_i(i_b):
+            """GOP-level closed loop (cfg.intra_qstep): lossy-code the
+            I-frames once; P/B frames reference the reconstruction, and the
+            payload rides along for bit-stable serialization."""
+            from vcs_h264_tpu.models import intra_codec
+            payload, recon = intra_codec.encode_intra_frames_lossy_batch(
+                i_b.astype(jnp.int32), cfg.intra_qstep)
+            return payload, recon
+
+        def attach(gop, payload, bi):
+            import dataclasses
+            return dataclasses.replace(
+                gop, i_qcoef=payload.qcoef[bi], i_modes=payload.modes[bi],
+                i_escape=payload.escape[bi])
+
         enc_batch = pipeline.jit_encode_gop_batch(cfg)
         for start in range(0, len(full), self.gop_batch):
             idxs = full[start:start + self.gop_batch]
@@ -108,9 +132,14 @@ class Encoder:
             p_b = jnp.asarray(
                 np.stack([grouped[i][1] for i in idxs])
                 .transpose(0, 1, 4, 2, 3))
+            payload = None
+            if cfg.intra_qstep:
+                payload, i_b = lossy_i(i_b)
             out = enc_batch(i_b, p_b)
             for bi, idx in enumerate(idxs):
                 gop = jax.tree.map(lambda x, _bi=bi: x[_bi], out)
+                if payload is not None:
+                    gop = attach(gop, payload, bi)
                 encoded[idx] = gop
                 self._log_gop(idx, gop)
                 if checkpoint_dir:
@@ -120,6 +149,10 @@ class Encoder:
         for idx in tail:
             i_f, p_f = grouped[idx]
             i_pl = jnp.asarray(i_f.transpose(2, 0, 1))
+            payload = None
+            if cfg.intra_qstep:
+                payload, i_b1 = lossy_i(i_pl[None])
+                i_pl = i_b1[0]
             if p_f.shape[0] == 0:
                 gop = EncodedGOP(
                     i_frame=i_pl,
@@ -128,6 +161,8 @@ class Encoder:
                     residuals=None)
             else:
                 gop = enc_one(i_pl, jnp.asarray(p_f.transpose(0, 3, 1, 2)))
+            if payload is not None:
+                gop = attach(gop, payload, 0)
             encoded[idx] = gop
             self._log_gop(idx, gop)
             if checkpoint_dir:

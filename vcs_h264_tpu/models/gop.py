@@ -37,6 +37,14 @@ class EncodedGOP:
     b_mv:        int32 [NB, 2, nbh, nbw, 2]  forward + backward vectors
     b_mode:      int8  [NB, nbh, nbw]        0=fwd, 1=bwd, 2=bi-average
     b_residuals: same formats as `residuals`, [NB, ...]
+
+    Lossy-intra payload (None unless cfg.intra_qstep > 0). When present,
+    `i_frame` holds the lossy RECONSTRUCTION — the exact plane the P/B
+    frames were predicted against (GOP-level closed loop) — and the payload
+    below is its compressed form, reproducing it bit-exactly on decode:
+    i_qcoef:  int16 [C, H, W]        quantized 4x4 core-transform coeffs
+    i_modes:  int8  [C, H/4, W/4]
+    i_escape: bool  [C, H/4, W/4]
     """
     i_frame: jax.Array
     mv: jax.Array
@@ -44,10 +52,14 @@ class EncodedGOP:
     b_mv: Optional[jax.Array] = None
     b_mode: Optional[jax.Array] = None
     b_residuals: Optional[jax.Array] = None
+    i_qcoef: Optional[jax.Array] = None
+    i_modes: Optional[jax.Array] = None
+    i_escape: Optional[jax.Array] = None
 
     def tree_flatten(self):
         return (self.i_frame, self.mv, self.residuals,
-                self.b_mv, self.b_mode, self.b_residuals), None
+                self.b_mv, self.b_mode, self.b_residuals,
+                self.i_qcoef, self.i_modes, self.i_escape), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):

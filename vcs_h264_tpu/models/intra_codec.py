@@ -15,6 +15,7 @@ avoids the color conversion's information loss and stays bit-exact.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -43,4 +44,41 @@ def decode_intra_frame(frame: IntraFrame) -> jnp.ndarray:
     """-> int32 [C, H, W], bit-exact inverse of encode_intra_frame."""
     return jax.vmap(intra.intra_decode4x4)(
         frame.residual.astype(jnp.int32), frame.modes.astype(jnp.int32),
+        frame.escape)
+
+
+class IntraFrameLossy(NamedTuple):
+    """Lossy intra-coded frame: quantized 4x4 core-transform coefficients
+    (the reference's commented-out intent, intraframe.py:352-358, realized
+    closed-loop — see ops/intra.py)."""
+    qcoef: jax.Array       # int16 [C, H, W] (block-layout planes)
+    modes: jax.Array       # int8  [C, H/4, W/4]
+    escape: jax.Array      # bool  [C, H/4, W/4]
+
+
+@functools.partial(jax.jit, static_argnames=("qstep",))
+def encode_intra_frame_lossy(planes: jnp.ndarray, qstep: int):
+    """planes: int32 [C, H, W] -> (IntraFrameLossy, recon int32 [C, H, W]).
+
+    recon is the decoder's exact output (integer closed loop), so callers
+    can reference it for subsequent inter prediction without drift."""
+    q, modes, escape, recon = jax.vmap(
+        lambda p: intra.intra_encode4x4_lossy(p, qstep))(planes)
+    return IntraFrameLossy(qcoef=q.astype(jnp.int16),
+                           modes=modes.astype(jnp.int8),
+                           escape=escape), recon
+
+
+@functools.partial(jax.jit, static_argnames=("qstep",))
+def encode_intra_frames_lossy_batch(planes: jnp.ndarray, qstep: int):
+    """Batched: [B, C, H, W] -> (IntraFrameLossy with leading B, recon)."""
+    return jax.vmap(lambda p: encode_intra_frame_lossy(p, qstep))(planes)
+
+
+@functools.partial(jax.jit, static_argnames=("qstep",))
+def decode_intra_frame_lossy(frame: IntraFrameLossy, qstep: int):
+    """-> int32 [C, H, W], bit-exact equal to the encoder's recon."""
+    return jax.vmap(
+        lambda q, m, e: intra.intra_decode4x4_lossy(q, m, e, qstep))(
+        frame.qcoef.astype(jnp.int32), frame.modes.astype(jnp.int32),
         frame.escape)

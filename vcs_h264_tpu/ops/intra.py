@@ -335,6 +335,120 @@ def intra_decode4x4(residual: jnp.ndarray, modes: jnp.ndarray,
     return jax.lax.fori_loop(0, 2 * (nbh - 1) + nbw, body, recon0)
 
 
+# --- Lossy intra: H.264 4x4 integer core transform, closed loop -------------
+# The reference declares the H.264 forward/inverse core matrices
+# (`intraframe.py:14-22`) and a commented-out transform of the intra
+# residuals (`intraframe.py:352-358`) — an open-loop sketch that would drift
+# (its predictor reads original neighbors the decoder never has). Realized
+# here properly: a closed-loop codec where BOTH sides predict from the
+# reconstructed plane, walking the block wavefront.
+#
+# Exact algebra (integer, platform-independent):
+#   coef = Cf X Cfᵀ                           (Cf rows orthogonal, norms² 4/10)
+#   X    = Ci (coef ⊙ G) Ciᵀ   with G = g gᵀ, g = (1/4, 1/5, 1/4, 1/5)
+# (Ci = Cfᵀ·diag(1,½,1,½), so the norm factors split across quant and the
+# halved inverse rows exactly as in the standard.) Quantization folds G in:
+#   q    = iround(coef ⊙ (400·G) / (400·qstep))          (400·G ∈ {25,20,16})
+#   X̂    = iround((2Ci) (q·qstep) (2Ci)ᵀ / 4)            (2Ci is integer)
+# All intermediates fit int32; encode/decode recon is bit-identical across
+# backends because every op is integer.
+
+_CF4 = ((1, 1, 1, 1), (2, 1, -1, -2), (1, -1, -1, 1), (1, -2, 2, -1))
+_CI4X2 = ((2, 2, 2, 1), (2, 1, -2, -2), (2, -1, -2, 2), (2, -2, 2, -1))
+_G4X400 = tuple(tuple(a * b for b in (5, 4, 5, 4)) for a in (5, 4, 5, 4))
+
+
+def _iround_div(a: jnp.ndarray, b: int) -> jnp.ndarray:
+    """Round-half-away-from-zero integer division by positive int b."""
+    return jnp.sign(a) * ((2 * jnp.abs(a) + b) // (2 * b))
+
+
+def core4_fwd(blocks: jnp.ndarray) -> jnp.ndarray:
+    """[..., 4, 4] int32 residual -> unscaled coefficients (Cf X Cfᵀ)."""
+    cf = jnp.asarray(_CF4, jnp.int32)
+    return jnp.einsum("ij,...jk,lk->...il", cf, blocks, cf)
+
+
+def core4_quant(coef: jnp.ndarray, qstep: int) -> jnp.ndarray:
+    gn = jnp.asarray(_G4X400, jnp.int32)
+    return _iround_div(coef * gn, 400 * qstep)
+
+
+def core4_dequant_inv(q: jnp.ndarray, qstep: int) -> jnp.ndarray:
+    """Quantized coefficients -> reconstructed residual (int32, exact)."""
+    ci2 = jnp.asarray(_CI4X2, jnp.int32)
+    r = jnp.einsum("ij,...jk,lk->...il", ci2, q * jnp.int32(qstep), ci2)
+    return _iround_div(r, 4)
+
+
+def _plane_blocks4(plane, nbh, nbw):
+    return plane.reshape(nbh, 4, nbw, 4).transpose(0, 2, 1, 3)
+
+
+def _blocks4_plane(blocks, h, w):
+    return blocks.transpose(0, 2, 1, 3).reshape(h, w)
+
+
+@functools.partial(jax.jit, static_argnames=("qstep",))
+def intra_encode4x4_lossy(y: jnp.ndarray, qstep: int):
+    """Closed-loop lossy intra encode of one plane.
+
+    y: int32 [H, W] (uint8 values), dims multiples of 4.
+    Returns (qcoef [H,W] int32 block-layout plane, modes [nbh,nbw] int32,
+    escape [nbh,nbw] bool, recon [H,W] int32 — the decoder's exact output).
+
+    The mode search scores predictions (from the *reconstructed* plane,
+    unlike the study's original-neighbor search) against the original block
+    with the reference's strict-< / 16*255-sentinel selection semantics."""
+    h, w = y.shape
+    nbh, nbw = h // 4, w // 4
+    orig_blocks = _plane_blocks4(y, nbh, nbw)
+    key = 2 * jnp.arange(nbh)[:, None] + jnp.arange(nbw)[None, :]
+
+    def body(t, carry):
+        recon, qpl, modes, escape = carry
+        preds, _ = _luma4x4_preds(recon)
+        pred, mode, diffs = _select_best(orig_blocks, preds, 16 * 255)
+        esc = jnp.all(diffs >= 16 * 255, axis=0)
+        q = core4_quant(core4_fwd(orig_blocks - pred), qstep)
+        rec_block = jnp.clip(pred + core4_dequant_inv(q, qstep), 0, 255)
+        sel = key == t
+        sel4 = sel[..., None, None]
+        recon_b = jnp.where(sel4, rec_block, _plane_blocks4(recon, nbh, nbw))
+        qpl_b = jnp.where(sel4, q, _plane_blocks4(qpl, nbh, nbw))
+        return (_blocks4_plane(recon_b, h, w), _blocks4_plane(qpl_b, h, w),
+                jnp.where(sel, mode, modes), jnp.where(sel, esc, escape))
+
+    init = (jnp.zeros((h, w), jnp.int32), jnp.zeros((h, w), jnp.int32),
+            jnp.zeros((nbh, nbw), jnp.int32), jnp.zeros((nbh, nbw), bool))
+    recon, qpl, modes, escape = jax.lax.fori_loop(
+        0, 2 * (nbh - 1) + nbw, body, init)
+    return qpl, modes, escape, recon
+
+
+@functools.partial(jax.jit, static_argnames=("qstep",))
+def intra_decode4x4_lossy(qcoef: jnp.ndarray, modes: jnp.ndarray,
+                          escape: jnp.ndarray, qstep: int) -> jnp.ndarray:
+    """Wavefront decode, bit-exact inverse of the encoder's recon."""
+    h, w = qcoef.shape
+    nbh, nbw = h // 4, w // 4
+    res_hat = core4_dequant_inv(_plane_blocks4(qcoef, nbh, nbw), qstep)
+    key = 2 * jnp.arange(nbh)[:, None] + jnp.arange(nbw)[None, :]
+
+    def body(t, recon):
+        preds, _ = _luma4x4_preds(recon)
+        pred = jnp.take_along_axis(
+            jnp.where(escape[None, ..., None, None], 0, preds),
+            modes[None, ..., None, None].astype(jnp.int32), axis=0)[0]
+        block = jnp.clip(pred + res_hat, 0, 255)
+        sel = (key == t)[..., None, None]
+        cur = _plane_blocks4(recon, nbh, nbw)
+        return _blocks4_plane(jnp.where(sel, block, cur), h, w)
+
+    return jax.lax.fori_loop(0, 2 * (nbh - 1) + nbw, body,
+                             jnp.zeros((h, w), jnp.int32))
+
+
 @functools.partial(jax.jit)
 def chroma8x8(cr: jnp.ndarray, cb: jnp.ndarray):
     """Joint Cr/Cb V/H/DC over 8x8 blocks, one shared mode chosen by summed
