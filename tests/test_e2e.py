@@ -118,6 +118,51 @@ def test_npz_roundtrip(tmp_path, rng):
         np.testing.assert_array_equal(a, b)
 
 
+def test_npz_preserves_production_config(tmp_path, rng):
+    """save_npz/load_npz must round-trip the full config (search_reach,
+    intra_i, intra_qstep) and the lossy-intra payload — round 1 silently
+    decayed production streams to raw-I on an npz roundtrip."""
+    frames = _small_frames(rng, n=8)
+    cfg = CodecConfig.production(intra_qstep=24)
+    video = Encoder(cfg, gop_batch=2).encode_frames(frames)
+    path = str(tmp_path / "stream.npz")
+    video.save_npz(path)
+    from vcs_h264_tpu.models.gop import EncodedVideo
+    loaded = EncodedVideo.load_npz(path)
+    assert loaded.config == cfg
+    for g, l in zip(video.gops, loaded.gops):
+        assert l.i_qcoef is not None
+        np.testing.assert_array_equal(np.asarray(g.i_qcoef),
+                                      np.asarray(l.i_qcoef))
+        np.testing.assert_array_equal(np.asarray(g.i_modes),
+                                      np.asarray(l.i_modes))
+        np.testing.assert_array_equal(np.asarray(g.i_escape),
+                                      np.asarray(l.i_escape))
+    got = Decoder().decode(loaded)
+    want = Decoder().decode(video)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_checkpoint_stale_config_reencoded(tmp_path, rng):
+    """A checkpoint written under a different config (e.g. changed
+    intra_qstep) must be re-encoded, not reused — reusing it serializes a
+    stream whose header qstep mismatches the stored payload and decodes
+    corrupted (ADVICE.md round 1, medium)."""
+    frames = _small_frames(rng, n=8)
+    ck = str(tmp_path / "ck")
+    cfg_a = CodecConfig.production(intra_qstep=20)
+    Encoder(cfg_a, gop_batch=2).encode_frames(frames, checkpoint_dir=ck)
+    cfg_b = CodecConfig.production(intra_qstep=36)
+    v_resumed = Encoder(cfg_b, gop_batch=2).encode_frames(
+        frames, checkpoint_dir=ck)
+    v_fresh = Encoder(cfg_b, gop_batch=2).encode_frames(frames)
+    got = Decoder().decode(v_resumed)
+    want = Decoder().decode(v_fresh)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_real_video_reference_parity():
     frames = load_test_frames("/root/reference/videos/cat_short.mp4", 6)
     if len(frames) < 6:

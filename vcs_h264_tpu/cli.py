@@ -55,12 +55,15 @@ def _cfg(args):
     return CodecConfig(**kw)
 
 
-def _save_stream(video, path: str) -> None:
+def _save_stream(video, path: str) -> str:
+    """Write the stream; returns the path actually written (np.savez appends
+    '.npz' when the name has no extension, so the input path may not exist)."""
     if path.endswith(".vcs"):
         from vcs_h264_tpu.io.bitstream import save_vcs
         save_vcs(video, path)
-    else:
-        video.save_npz(path)
+        return path
+    video.save_npz(path)
+    return path if path.endswith(".npz") else path + ".npz"
 
 
 def _load_stream(path: str):
@@ -77,12 +80,12 @@ def cmd_encode(args):
     t0 = time.perf_counter()
     video = enc.encode_video(args.input, max_frames=args.max_frames)
     dt = time.perf_counter() - t0
-    _save_stream(video, args.output)
+    written = _save_stream(video, args.output)
     import os
-    size = os.path.getsize(args.output)
+    size = os.path.getsize(written)
     raw = video.num_frames * video.height * video.width * 3
     print(f"encoded {video.num_frames} frames in {dt:.2f}s "
-          f"({video.num_frames / dt:.1f} fps) -> {args.output} "
+          f"({video.num_frames / dt:.1f} fps) -> {written} "
           f"({size} bytes, {raw / max(size, 1):.2f}x vs raw)")
 
 

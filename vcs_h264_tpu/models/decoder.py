@@ -22,9 +22,19 @@ class Decoder:
 
     def decode(self, video: EncodedVideo) -> List[np.ndarray]:
         """-> list of BGR uint8 frames, in stream order."""
+        import dataclasses
         cfg = video.config
         dec_batch = pipeline.jit_decode_gop_batch_u8(cfg)
         dec_one = pipeline.jit_decode_gop_u8(cfg)
+
+        def strip(gop: EncodedGOP) -> EncodedGOP:
+            # decode_gop_batch never reads the lossy-intra payload (i_frame
+            # already holds the reconstruction); uploading it would waste
+            # host->device traffic roughly the size of the I-frame per GOP
+            if gop.i_qcoef is None:
+                return gop
+            return dataclasses.replace(gop, i_qcoef=None, i_modes=None,
+                                       i_escape=None)
 
         frames: List[np.ndarray] = []
         # batch together consecutive full GOPs
@@ -42,6 +52,7 @@ class Decoder:
             buf.clear()
 
         for gop in video.gops:
+            gop = strip(gop)
             if gop.num_coded == cfg.gop_len:
                 buf.append(gop)
                 if len(buf) >= self.gop_batch:

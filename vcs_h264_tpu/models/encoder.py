@@ -29,20 +29,39 @@ from vcs_h264_tpu.models import pipeline
 from vcs_h264_tpu.io.video import group_into_gops
 
 
-def _save_gop_npz(path: str, gop: EncodedGOP, with_dct: bool) -> None:
+def _cfg_fingerprint(cfg: CodecConfig) -> str:
+    """Stable string of every knob that changes what a checkpointed GOP
+    contains. A checkpoint written under a different fingerprint must be
+    re-encoded, not reused: e.g. the lossy-intra payload is qstep-dependent,
+    so resuming with a changed intra_qstep would serialize a stream whose
+    header qstep mismatches the stored coefficients and decode corrupted."""
+    import json
+    return json.dumps(dict(
+        block_size=cfg.block_size, gop_pattern=",".join(cfg.gop_pattern),
+        search_reach=cfg.search_reach, search_step=cfg.search_step,
+        static_threshold=cfg.static_threshold,
+        quality_factor=cfg.quality_factor, with_dct=cfg.with_dct,
+        with_residual=cfg.with_residual, quant_mode=cfg.quant_mode,
+        intra_i=cfg.intra_i, intra_qstep=cfg.intra_qstep), sort_keys=True)
+
+
+def _save_gop_npz(path: str, gop: EncodedGOP, with_dct: bool,
+                  fingerprint: str = "") -> None:
     def as_res(res):
         if res is None:
             return None
         res = np.asarray(res)
         return res.astype(np.uint8) if not with_dct else res
 
+    # int16 MVs: int8 would silently wrap configs with search_reach > 127
     arrays = dict(i=np.asarray(gop.i_frame, np.uint8),
-                  mv=np.asarray(gop.mv, np.int8))
+                  mv=np.asarray(gop.mv, np.int16),
+                  cfg=np.array([fingerprint]))
     res = as_res(gop.residuals)
     if res is not None:
         arrays["res"] = res
     if gop.b_mv is not None:
-        arrays["bmv"] = np.asarray(gop.b_mv, np.int8)
+        arrays["bmv"] = np.asarray(gop.b_mv, np.int16)
         arrays["bmode"] = np.asarray(gop.b_mode, np.int8)
         bres = as_res(gop.b_residuals)
         if bres is not None:
@@ -56,8 +75,13 @@ def _save_gop_npz(path: str, gop: EncodedGOP, with_dct: bool) -> None:
     np.savez_compressed(path, **arrays)
 
 
-def _load_gop_npz(path: str) -> EncodedGOP:
+def _load_gop_npz(path: str, fingerprint: str = "") -> Optional[EncodedGOP]:
+    """Load a checkpointed GOP, or None when it was written under a different
+    config fingerprint (stale checkpoints are re-encoded, never reused)."""
     data = np.load(path)
+    stored = str(data["cfg"][0]) if "cfg" in data else None
+    if fingerprint and stored != fingerprint:
+        return None
     bmv = data["bmv"] if "bmv" in data else None
     return EncodedGOP(i_frame=data["i"].astype(np.int32),
                       mv=data["mv"].astype(np.int32),
@@ -96,12 +120,15 @@ class Encoder:
             return (os.path.join(checkpoint_dir, f"gop_{idx:06d}.npz")
                     if checkpoint_dir else None)
 
+        fingerprint = _cfg_fingerprint(cfg)
         encoded: List[Optional[EncodedGOP]] = [None] * len(grouped)
         pending = []
         for idx, (i_f, p_f) in enumerate(grouped):
             path = ckpt_path(idx)
-            if path and os.path.exists(path):
-                encoded[idx] = _load_gop_npz(path)
+            gop = (_load_gop_npz(path, fingerprint)
+                   if path and os.path.exists(path) else None)
+            if gop is not None:
+                encoded[idx] = gop
             else:
                 pending.append(idx)
 
@@ -143,7 +170,8 @@ class Encoder:
                 encoded[idx] = gop
                 self._log_gop(idx, gop)
                 if checkpoint_dir:
-                    _save_gop_npz(ckpt_path(idx), gop, cfg.with_dct)
+                    _save_gop_npz(ckpt_path(idx), gop, cfg.with_dct,
+                                  fingerprint)
 
         enc_one = pipeline.jit_encode_gop(cfg)
         for idx in tail:
@@ -166,7 +194,7 @@ class Encoder:
             encoded[idx] = gop
             self._log_gop(idx, gop)
             if checkpoint_dir:
-                _save_gop_npz(ckpt_path(idx), gop, cfg.with_dct)
+                _save_gop_npz(ckpt_path(idx), gop, cfg.with_dct, fingerprint)
 
         video = EncodedVideo(config=cfg, height=h, width=w, fps=fps,
                              num_frames=len(frames), gops=encoded)

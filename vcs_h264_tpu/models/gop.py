@@ -12,6 +12,7 @@ checkpoint/resume plan). Block coordinates are implicit in the dense MV grid
 from __future__ import annotations
 
 import dataclasses
+import json
 from typing import List, Optional
 
 import numpy as np
@@ -105,14 +106,23 @@ class EncodedVideo:
                 res = res.astype(np.uint8)          # wrap residuals are bytes
             arrays[key] = res
 
+        # MVs are int16: values are bounded by search_reach, and int8 would
+        # silently wrap any config with search_reach > 127.
         for g, gop in enumerate(self.gops):
             arrays[f"gop{g}_i"] = np.asarray(gop.i_frame, dtype=np.uint8)
-            arrays[f"gop{g}_mv"] = np.asarray(gop.mv, dtype=np.int8)
+            arrays[f"gop{g}_mv"] = np.asarray(gop.mv, dtype=np.int16)
             put_res(f"gop{g}_res", gop.residuals)
             if gop.b_mv is not None:
-                arrays[f"gop{g}_bmv"] = np.asarray(gop.b_mv, dtype=np.int8)
+                arrays[f"gop{g}_bmv"] = np.asarray(gop.b_mv, dtype=np.int16)
                 arrays[f"gop{g}_bmode"] = np.asarray(gop.b_mode, dtype=np.int8)
                 put_res(f"gop{g}_bres", gop.b_residuals)
+            if gop.i_qcoef is not None:
+                # the lossy-intra payload must survive the roundtrip:
+                # re-encoding the stored recon is not bit-stable, the
+                # original encode-time payload is (EncodedGOP docstring)
+                arrays[f"gop{g}_iq"] = np.asarray(gop.i_qcoef, np.int16)
+                arrays[f"gop{g}_imodes"] = np.asarray(gop.i_modes, np.int8)
+                arrays[f"gop{g}_iesc"] = np.asarray(gop.i_escape, bool)
         meta = dict(height=self.height, width=self.width, fps=self.fps,
                     num_frames=self.num_frames, num_gops=len(self.gops),
                     block_size=self.config.block_size,
@@ -120,25 +130,38 @@ class EncodedVideo:
                     quality_factor=self.config.quality_factor,
                     with_dct=int(self.config.with_dct),
                     with_residual=int(self.config.with_residual),
-                    quant_mode=self.config.quant_mode)
-        np.savez_compressed(path, _meta=np.array([repr(meta)]), **arrays)
+                    quant_mode=self.config.quant_mode,
+                    search_reach=self.config.search_reach,
+                    intra_i=int(self.config.intra_i),
+                    intra_qstep=self.config.intra_qstep)
+        np.savez_compressed(path, _meta=np.array([json.dumps(meta)]), **arrays)
 
     @classmethod
     def load_npz(cls, path: str) -> "EncodedVideo":
         data = np.load(path, allow_pickle=False)
-        meta = eval(str(data["_meta"][0]))  # noqa: S307 - our own repr dict
+        raw_meta = str(data["_meta"][0])
+        try:
+            meta = json.loads(raw_meta)
+        except json.JSONDecodeError:
+            # round-1 artifacts stored a Python repr dict; parse it safely
+            import ast
+            meta = ast.literal_eval(raw_meta)
         cfg = CodecConfig(
             block_size=int(meta["block_size"]),
             gop_pattern=tuple(meta["gop_pattern"].split(",")),
             quality_factor=float(meta["quality_factor"]),
             with_dct=bool(meta["with_dct"]),
             with_residual=bool(meta["with_residual"]),
-            quant_mode=meta["quant_mode"])
+            quant_mode=meta["quant_mode"],
+            search_reach=int(meta.get("search_reach", 16)),
+            intra_i=bool(meta.get("intra_i", 0)),
+            intra_qstep=int(meta.get("intra_qstep", 0)))
         gops = []
         for g in range(int(meta["num_gops"])):
             res = data.get(f"gop{g}_res")
             bmv = data.get(f"gop{g}_bmv")
             bres = data.get(f"gop{g}_bres")
+            iq = data.get(f"gop{g}_iq")
             gops.append(EncodedGOP(
                 i_frame=data[f"gop{g}_i"].astype(np.int32),
                 mv=data[f"gop{g}_mv"].astype(np.int32),
@@ -146,6 +169,9 @@ class EncodedVideo:
                 b_mv=None if bmv is None else bmv.astype(np.int32),
                 b_mode=(None if bmv is None
                         else data[f"gop{g}_bmode"].astype(np.int8)),
-                b_residuals=None if bres is None else bres))
+                b_residuals=None if bres is None else bres,
+                i_qcoef=iq,
+                i_modes=data.get(f"gop{g}_imodes") if iq is not None else None,
+                i_escape=data.get(f"gop{g}_iesc") if iq is not None else None))
         return cls(cfg, int(meta["height"]), int(meta["width"]),
                    float(meta["fps"]), int(meta["num_frames"]), gops)
