@@ -1,23 +1,35 @@
 """Benchmark: end-to-end encode+decode throughput on real video frames.
 
-Prints ONE JSON line:
+Prints JSON lines of the form
   {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N, ...extras}
+progressively refined — a provisional line lands as soon as a first real
+measurement exists (so a driver timeout still captures a parsed number), and
+the final line carries the headline fused-loop measurement plus the
+production-mode and 720p extras. The LAST printed line is the most complete.
 
-Method: frames of the reference's headline video (slow_traffic_small.mp4,
-640x360) are uploaded to the device once; the timed region is ONE jitted
-call that runs N_ITERS full encode -> decode iterations in a lax.fori_loop,
-each on a spatially rolled copy of the P-frames (the data-dependent roll
-defeats loop-invariant hoisting, and the roll is <= 7 px so the motion
-search still operates in its normal regime). A scalar reduction of every
-iteration's outputs is loop-carried and fetched at the end, so the region
-is a single dispatch: this measures sustained device throughput — the
-production configuration — rather than the dev tunnel's ~25 ms synchronous
-per-dispatch RPC floor (which at 64-frame batches would dominate and is an
-artifact of this environment, not the codec; host DMA overlaps compute in
-production).
+Headline method: frames of the reference's headline video
+(slow_traffic_small.mp4, 640x360) are uploaded to the device once; the timed
+region is ONE jitted call that runs N_ITERS full encode -> decode iterations
+in a lax.fori_loop, each on a spatially rolled copy of the P-frames (the
+data-dependent roll defeats loop-invariant hoisting; the roll is <= 7 px so
+the motion search operates in its normal regime). A scalar reduction of every
+iteration's outputs is loop-carried and fetched at the end, so the region is
+a single dispatch: this measures sustained device throughput — the production
+configuration — rather than the dev tunnel's ~25 ms synchronous per-dispatch
+RPC floor (an artifact of this environment; host DMA overlaps compute in
+production). The provisional number is the same program measured as one
+synchronous dispatch (includes that RPC floor — strictly conservative).
 
-PSNR is reported from one untimed iteration on the unrolled frames (so it is
-comparable with the reference baseline measurement).
+Extras (each its own fused loop, run while the time budget allows):
+  * production_fps_640x360 — CodecConfig.production(intra_qstep=24): rounded
+    int16 quant, lossy wavefront-intra-coded I-frames, full decode incl.
+    the intra wavefront reconstruction.
+  * encode_decode_fps_1280x720 — the north-star operating point
+    (BASELINE.json: frames/s per chip at 720p, intra+inter), production
+    config on 2x2-tiled 720p frames.
+
+The persistent XLA compilation cache (.jax_cache/) makes warm runs skip the
+multi-minute remote compiles; cold runs degrade to provisional numbers.
 
 Baseline denominator: the measured Python reference (tools/
 measure_reference_baseline.py -> BASELINE_MEASURED.json), end-to-end
@@ -30,12 +42,13 @@ import time
 
 import numpy as np
 
+_DIR = os.path.dirname(os.path.abspath(__file__))
 VIDEO = "/root/reference/videos/slow_traffic_small.mp4"
-BASE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                    "BASELINE_MEASURED.json")
+BASE = os.path.join(_DIR, "BASELINE_MEASURED.json")
 N_FRAMES = 64          # frames resident on device (16 GOPs)
-N_ITERS = 24
-WARMUP = 2
+N_ITERS = 8            # fused-loop iterations (headline)
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "300"))
+QSTEP = 24             # production lossy-intra step
 
 
 def load_frames(path, n):
@@ -52,19 +65,34 @@ def load_frames(path, n):
 
 
 def main():
+    t_start = time.monotonic()
+
+    def left():
+        return BUDGET_S - (time.monotonic() - t_start)
+
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_DIR, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
     from jax import lax
     from vcs_h264_tpu.config import CodecConfig
-    from vcs_h264_tpu.models import pipeline
+    from vcs_h264_tpu.models import pipeline, intra_codec
 
     cfg = CodecConfig()          # reference operating point: bs=8 IPPP QF=50
     frames = load_frames(VIDEO, N_FRAMES)
     if not frames:
-        raise SystemExit(json.dumps({"metric": "encode_decode_fps",
-                                     "value": 0, "unit": "fps",
-                                     "vs_baseline": 0,
-                                     "error": "video unavailable"}))
+        print(json.dumps({"metric": "encode_decode_fps", "value": 0,
+                          "unit": "fps", "vs_baseline": 0,
+                          "error": "video unavailable"}), flush=True)
+        return
+
+    base_fps = base_psnr = None
+    if os.path.exists(BASE):
+        base = json.load(open(BASE))
+        base_fps = base.get("end_to_end_fps")
+        base_psnr = base.get("mean_psnr_capped99_db")
+
     arr = np.stack(frames).transpose(0, 3, 1, 2).astype(np.int32)  # [N,3,H,W]
     g = cfg.gop_len
     b = len(frames) // g
@@ -79,63 +107,112 @@ def main():
 
     @jax.jit
     def psnr_step(i_frames, p_frames):
-        _, dec = enc_dec(i_frames, p_frames)
+        enc, dec = enc_dec(i_frames, p_frames)
         err = (dec[:, 1:] - p_frames).astype(jnp.float32)
-        return jnp.mean(err * err, axis=(2, 3, 4))     # [B, P] per frame
+        mse = jnp.mean(err * err, axis=(2, 3, 4))      # [B, P] per frame
+        sink = jnp.sum(enc.mv) + jnp.sum(dec)
+        return mse, sink
 
-    @jax.jit
-    def bench_loop(i_frames, p_frames):
-        def body(it, acc):
-            p = jnp.roll(p_frames, it & 7, axis=-1)
-            enc, dec = enc_dec(i_frames, p)
-            return acc + jnp.sum(enc.mv) + jnp.sum(dec)
-        return lax.fori_loop(0, N_ITERS, body, jnp.int32(0))
-
-    # untimed PSNR iteration + compile warmup of the timed loop
-    mse = np.asarray(psnr_step(i_b, p_b))
-    for _ in range(WARMUP):
-        _ = int(bench_loop(i_b, p_b))
-
-    # Timed region: ONE dispatch running N_ITERS iterations on device; the
-    # scalar fetch is the sync point.
+    # ---- provisional: one synchronous dispatch (includes the tunnel's RPC
+    # floor — strictly conservative vs the fused-loop number) ---------------
+    mse, _ = psnr_step(i_b, p_b)
+    mse = np.asarray(mse)                               # sync + PSNR data
     t0 = time.perf_counter()
-    sink = int(bench_loop(i_b, p_b))
-    dt = time.perf_counter() - t0
+    _, sink = psnr_step(i_b, p_b)
+    int(sink)
+    dt1 = time.perf_counter() - t0
 
-    frames_done = N_ITERS * b * g
-    fps = frames_done / dt
-    # per-frame PSNR, capped at 99 dB (lossless frames), I-frames lossless
-    mse = mse.ravel()
-    p_psnr = np.where(mse > 0,
-                      10 * np.log10(255.0 ** 2 / np.maximum(mse, 1e-12)),
+    mse_r = mse.ravel()
+    p_psnr = np.where(mse_r > 0,
+                      10 * np.log10(255.0 ** 2 / np.maximum(mse_r, 1e-12)),
                       np.inf)
     per_frame = np.concatenate([np.full(b, np.inf), p_psnr])   # + I frames
     psnr_capped = float(np.mean(np.minimum(per_frame, 99.0)))
-    psnr_db = float(np.mean(np.minimum(p_psnr, 99.0)))
-
-    vs = None
-    extras = {}
-    if os.path.exists(BASE):
-        base = json.load(open(BASE))
-        ref_fps = base.get("end_to_end_fps")
-        if ref_fps:
-            vs = fps / ref_fps
-        extras["baseline_fps"] = ref_fps
-        extras["baseline_psnr_capped99_db"] = base.get("mean_psnr_capped99_db")
 
     result = {
         "metric": "encode_decode_fps_640x360",
-        "value": round(fps, 1),
+        "value": round(b * g / dt1, 1),
         "unit": "fps",
-        "vs_baseline": round(vs, 1) if vs else None,
+        "vs_baseline": round(b * g / dt1 / base_fps, 1) if base_fps else None,
         "psnr_capped99_db": round(psnr_capped, 2),
-        "p_frame_psnr_capped_db": round(psnr_db, 2),
-        "frames": frames_done,
-        "seconds": round(dt, 3),
+        "provisional": True,
         "device": str(jax.devices()[0]),
-        **extras,
+        "baseline_fps": base_fps,
+        "baseline_psnr_capped99_db": base_psnr,
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+    result.pop("provisional")
+
+    # ---- headline: fused N_ITERS-iteration loop, one dispatch -------------
+    def fused_loop(step_fn, n_iters):
+        def body(it, acc):
+            return acc + step_fn(it)
+        return lax.fori_loop(0, n_iters, body, jnp.int32(0))
+
+    @jax.jit
+    def bench_loop(i_frames, p_frames):
+        def step(it):
+            p = jnp.roll(p_frames, it & 7, axis=-1)
+            enc, dec = enc_dec(i_frames, p)
+            return jnp.sum(enc.mv) + jnp.sum(dec)
+        return fused_loop(step, N_ITERS)
+
+    _ = int(bench_loop(i_b, p_b))                       # compile + warmup
+    t0 = time.perf_counter()
+    _ = int(bench_loop(i_b, p_b))
+    dt = time.perf_counter() - t0
+    fps = N_ITERS * b * g / dt
+    result.update(value=round(fps, 1),
+                  vs_baseline=round(fps / base_fps, 1) if base_fps else None,
+                  frames=N_ITERS * b * g, seconds=round(dt, 3))
+    print(json.dumps(result), flush=True)
+
+    # ---- extras: production mode + 720p, while the budget allows ----------
+    def prod_bench(i_frames, p_frames, n_iters, label):
+        pcfg = CodecConfig.production(intra_qstep=QSTEP)
+
+        @jax.jit
+        def loop(i_f, p_f):
+            def step(it):
+                p = jnp.roll(p_f, it & 7, axis=-1)
+                payload, i_rec = intra_codec.encode_intra_frames_lossy_batch(
+                    i_f, QSTEP)
+                enc = pipeline.encode_gop_batch(i_rec, p, pcfg)
+                # real decode: I-frames reconstructed from the intra payload
+                i_dec = intra_codec.decode_intra_frames_lossy_batch(
+                    payload, QSTEP)
+                import dataclasses
+                dec = pipeline.decode_gop_batch(
+                    dataclasses.replace(enc, i_frame=i_dec), pcfg)
+                return jnp.sum(enc.mv) + jnp.sum(dec)
+            return fused_loop(step, n_iters)
+
+        _ = int(loop(i_frames, p_frames))               # compile + warmup
+        t0 = time.perf_counter()
+        _ = int(loop(i_frames, p_frames))
+        dt = time.perf_counter() - t0
+        nb, npf = p_frames.shape[:2]
+        return round(n_iters * nb * (npf + 1) / dt, 1)
+
+    try:
+        if left() > 45:
+            result["production_fps_640x360"] = prod_bench(
+                i_b, p_b, 4, "production 640x360")
+            print(json.dumps(result), flush=True)
+        if left() > 45:
+            # 720p operating point: 2x2-tile the 640x360 frames (north-star
+            # metric is fps per chip at 1280x720, intra+inter)
+            arr720 = np.tile(arr[:16], (1, 1, 2, 2))    # [16,3,720,1280]
+            b7 = 16 // g
+            i7 = jnp.asarray(arr720[::g][:b7])
+            p7 = jnp.asarray(np.stack(
+                [arr720[k * g + 1:k * g + g] for k in range(b7)]))
+            result["encode_decode_fps_1280x720"] = prod_bench(
+                i7, p7, 4, "production 720p")
+            print(json.dumps(result), flush=True)
+    except Exception as e:                              # extras must never
+        result["extras_error"] = repr(e)                # kill the headline
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

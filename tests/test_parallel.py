@@ -81,6 +81,61 @@ def test_sharded_roundtrip_no_dct_bit_exact(rng):
     np.testing.assert_array_equal(np.asarray(dec)[:, 0], np.asarray(i_b))
 
 
+@pytest.mark.parametrize("with_dct", [False, True])
+def test_sharded_bframes_matches_unsharded(rng, with_dct):
+    """B-bearing GOP patterns through the sharded pipeline: encode fields and
+    decode output match the unsharded pipeline (round 1 silently coded such
+    GOPs all-P when a mesh was supplied)."""
+    cfg = CodecConfig.bframes(with_dct=with_dct)
+    mesh = _mesh_or_skip(2, 2)
+    i_b, p_b = _gop_batch(rng, p=cfg.gop_len - 1)
+    want = pipeline.jit_encode_gop_batch(cfg)(i_b, p_b)
+    got = spatial.sharded_encode_gop_batch(i_b, p_b, cfg, mesh)
+    np.testing.assert_array_equal(np.asarray(got.mv), np.asarray(want.mv))
+    if not with_dct:
+        # integer path: everything downstream of the searches is bit-exact
+        np.testing.assert_array_equal(np.asarray(got.b_mv),
+                                      np.asarray(want.b_mv))
+        np.testing.assert_array_equal(np.asarray(got.b_mode),
+                                      np.asarray(want.b_mode))
+        np.testing.assert_array_equal(np.asarray(got.b_residuals),
+                                      np.asarray(want.b_residuals))
+        want_dec = pipeline.jit_decode_gop_batch(cfg)(want)
+        got_dec = spatial.sharded_decode_gop_batch(got, cfg, mesh)
+        np.testing.assert_array_equal(np.asarray(got_dec),
+                                      np.asarray(want_dec))
+    else:
+        # float DCT path: truncation-boundary flips only
+        got_dec = np.asarray(spatial.sharded_decode_gop_batch(got, cfg, mesh))
+        want_dec = np.asarray(pipeline.jit_decode_gop_batch(cfg)(want))
+        d = np.abs(got_dec.astype(np.int64) - want_dec.astype(np.int64))
+        d = np.minimum(d, 256 - d)
+        assert d.max() <= 2 and (d > 0).mean() < 0.05
+
+
+def test_sharded_production_intra_matches_unsharded(rng):
+    """production() (rounded quant + lossy intra I) on the mesh: the intra
+    payload is produced gop-parallel, P frames reference the lossy recon,
+    and decode matches the unsharded pipeline bit-exactly (integer paths)."""
+    cfg = CodecConfig.production(intra_qstep=24)
+    mesh = _mesh_or_skip(2, 2)
+    i_b, p_b = _gop_batch(rng)
+    got = spatial.sharded_encode_gop_batch(i_b, p_b, cfg, mesh)
+    # unsharded reference: lossy intra then inter encode on the recon
+    from vcs_h264_tpu.models import intra_codec
+    payload, i_rec = intra_codec.encode_intra_frames_lossy_batch(i_b, 24)
+    want = pipeline.jit_encode_gop_batch(cfg)(i_rec, p_b)
+    np.testing.assert_array_equal(np.asarray(got.i_frame), np.asarray(i_rec))
+    np.testing.assert_array_equal(np.asarray(got.i_qcoef),
+                                  np.asarray(payload.qcoef))
+    np.testing.assert_array_equal(np.asarray(got.mv), np.asarray(want.mv))
+    np.testing.assert_array_equal(np.asarray(got.residuals),
+                                  np.asarray(want.residuals))
+    got_dec = spatial.sharded_decode_gop_batch(got, cfg, mesh)
+    want_dec = pipeline.jit_decode_gop_batch(cfg)(want)
+    np.testing.assert_array_equal(np.asarray(got_dec), np.asarray(want_dec))
+
+
 def test_gop_data_parallel_sharding(rng):
     """Plain NamedSharding DP over the gop axis compiles and matches."""
     cfg = CodecConfig(with_dct=False)

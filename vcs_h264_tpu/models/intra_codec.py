@@ -76,6 +76,12 @@ def encode_intra_frames_lossy_batch(planes: jnp.ndarray, qstep: int):
 
 
 @functools.partial(jax.jit, static_argnames=("qstep",))
+def decode_intra_frames_lossy_batch(frame: IntraFrameLossy, qstep: int):
+    """Batched: IntraFrameLossy with leading B -> recon [B, C, H, W]."""
+    return jax.vmap(lambda f: decode_intra_frame_lossy(f, qstep))(frame)
+
+
+@functools.partial(jax.jit, static_argnames=("qstep",))
 def decode_intra_frame_lossy(frame: IntraFrameLossy, qstep: int):
     """-> int32 [C, H, W], bit-exact equal to the encoder's recon."""
     return jax.vmap(

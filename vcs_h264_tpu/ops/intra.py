@@ -461,28 +461,36 @@ def intra_encode4x4_lossy(y: jnp.ndarray, qstep: int):
     with the reference's strict-< / 16*255-sentinel selection semantics."""
     h, w = y.shape
     nbh, nbw = h // 4, w // 4
-    orig_blocks = _plane_blocks4(y, nbh, nbw)
-    key = 2 * jnp.arange(nbh)[:, None] + jnp.arange(nbw)[None, :]
+    nb = nbh * nbw
+    orig = _plane_blocks4(y, nbh, nbw).reshape(nb, 4, 4)
+    lmax = min(nbh, (nbw + 1) // 2)
 
     def body(t, carry):
-        recon, qpl, modes, escape = carry
-        preds, _ = _luma4x4_preds(recon)
-        pred, mode, diffs = _select_best(orig_blocks, preds, 16 * 255)
+        blocks, qc, modes, escape = carry
+        bi, bj, valid = _diag_lanes(t, nbh, nbw, lmax)
+        idx = jnp.where(valid, bi * nbw + bj, nb)
+        safe = jnp.minimum(idx, nb - 1)
+        u, l, ul, ur, a_u, a_l, a_ur = _gather_lane_neighbors(
+            blocks, bi, bj, valid, nbh, nbw)
+        preds = _preds9(u, l, ul, ur, a_u, a_l, a_ur)     # [9, L, 4, 4]
+        oblk = orig[safe]
+        pred, mode, diffs = _select_best(oblk, preds, 16 * 255)
         esc = jnp.all(diffs >= 16 * 255, axis=0)
-        q = core4_quant(core4_fwd(orig_blocks - pred), qstep)
-        rec_block = jnp.clip(pred + core4_dequant_inv(q, qstep), 0, 255)
-        sel = key == t
-        sel4 = sel[..., None, None]
-        recon_b = jnp.where(sel4, rec_block, _plane_blocks4(recon, nbh, nbw))
-        qpl_b = jnp.where(sel4, q, _plane_blocks4(qpl, nbh, nbw))
-        return (_blocks4_plane(recon_b, h, w), _blocks4_plane(qpl_b, h, w),
-                jnp.where(sel, mode, modes), jnp.where(sel, esc, escape))
+        q = core4_quant(core4_fwd(oblk - pred), qstep)
+        rec = jnp.clip(pred + core4_dequant_inv(q, qstep), 0, 255)
+        return (blocks.at[idx].set(rec),          # idx == nb -> scratch row
+                qc.at[idx].set(q, mode="drop"),
+                modes.at[idx].set(mode, mode="drop"),
+                escape.at[idx].set(esc, mode="drop"))
 
-    init = (jnp.zeros((h, w), jnp.int32), jnp.zeros((h, w), jnp.int32),
-            jnp.zeros((nbh, nbw), jnp.int32), jnp.zeros((nbh, nbw), bool))
-    recon, qpl, modes, escape = jax.lax.fori_loop(
+    init = (jnp.zeros((nb + 1, 4, 4), jnp.int32),
+            jnp.zeros((nb, 4, 4), jnp.int32),
+            jnp.zeros((nb,), jnp.int32), jnp.zeros((nb,), bool))
+    blocks, qc, modes, escape = jax.lax.fori_loop(
         0, 2 * (nbh - 1) + nbw, body, init)
-    return qpl, modes, escape, recon
+    return (_blocks4_plane(qc.reshape(nbh, nbw, 4, 4), h, w),
+            modes.reshape(nbh, nbw), escape.reshape(nbh, nbw),
+            _blocks4_plane(blocks[:nb].reshape(nbh, nbw, 4, 4), h, w))
 
 
 @functools.partial(jax.jit, static_argnames=("qstep",))
@@ -491,21 +499,12 @@ def intra_decode4x4_lossy(qcoef: jnp.ndarray, modes: jnp.ndarray,
     """Wavefront decode, bit-exact inverse of the encoder's recon."""
     h, w = qcoef.shape
     nbh, nbw = h // 4, w // 4
-    res_hat = core4_dequant_inv(_plane_blocks4(qcoef, nbh, nbw), qstep)
-    key = 2 * jnp.arange(nbh)[:, None] + jnp.arange(nbw)[None, :]
-
-    def body(t, recon):
-        preds, _ = _luma4x4_preds(recon)
-        pred = jnp.take_along_axis(
-            jnp.where(escape[None, ..., None, None], 0, preds),
-            modes[None, ..., None, None].astype(jnp.int32), axis=0)[0]
-        block = jnp.clip(pred + res_hat, 0, 255)
-        sel = (key == t)[..., None, None]
-        cur = _plane_blocks4(recon, nbh, nbw)
-        return _blocks4_plane(jnp.where(sel, block, cur), h, w)
-
-    return jax.lax.fori_loop(0, 2 * (nbh - 1) + nbw, body,
-                             jnp.zeros((h, w), jnp.int32))
+    res_hat = core4_dequant_inv(_plane_blocks4(qcoef, nbh, nbw),
+                                qstep).reshape(-1, 4, 4)
+    out = _wavefront_reconstruct(
+        res_hat, modes.reshape(-1).astype(jnp.int32),
+        escape.reshape(-1), nbh, nbw, clip=True)
+    return _blocks4_plane(out.reshape(nbh, nbw, 4, 4), h, w)
 
 
 @functools.partial(jax.jit)

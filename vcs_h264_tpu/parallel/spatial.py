@@ -36,10 +36,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from vcs_h264_tpu.config import CodecConfig
 from vcs_h264_tpu.models.gop import EncodedGOP
-from vcs_h264_tpu.models.pipeline import (dct_compress_residual,
+from vcs_h264_tpu.models.pipeline import (_b_mode_select, dct_compress_residual,
                                           dct_compress_residual_signed,
                                           dct_decompress_residual,
-                                          dct_decompress_residual_signed)
+                                          dct_decompress_residual_signed,
+                                          gop_layout)
 from vcs_h264_tpu.ops import motion as M
 from vcs_h264_tpu.ops.motion import (_INIT_SENTINEL, _MASKED, _tile_sums,
                                      _wrap_abs_diff, make_plan)
@@ -209,12 +210,47 @@ _MV_SPEC = P("gop", None, "tile", None, None)          # [B, P, nbh, nbw, 2]
 _RES_SPEC = P("gop", None, None, "tile", None)         # [B, P, 3, H, W]
 _FRAMES_SPEC = P("gop", None, None, "tile", None)      # [B, 1+P, 3, H, W]
 _PLAN_SPEC = P("tile", None)
+_BMV_SPEC = P("gop", None, None, "tile", None, None)   # [B, NB, 2, nbh, nbw, 2]
+_BMODE_SPEC = P("gop", None, "tile", None)             # [B, NB, nbh, nbw]
+
+
+def _tile_encode_residual(cur, recon, cfg: CodecConfig):
+    """Tile-local residual coding (cur/recon [..., C, th, W]); same math as
+    pipeline._encode_residual — blockwise, so tiles are independent."""
+    if not cfg.with_residual:
+        return None
+    if cfg.with_dct and cfg.quant_mode == "rounded":
+        return dct_compress_residual_signed(cur - recon, cfg)
+    resid = M.residuals_wrap(cur, recon)
+    if cfg.with_dct:
+        resid = dct_compress_residual(resid, cfg)
+    return resid
+
+
+def _tile_apply_residual(recon, resid, cfg: CodecConfig):
+    """Tile-local decoder-side residual add-back (pipeline._apply_residual)."""
+    if not cfg.with_residual or resid is None:
+        return recon
+    if cfg.with_dct and cfg.quant_mode == "rounded":
+        return jnp.clip(recon + dct_decompress_residual_signed(resid, cfg),
+                        0, 255)
+    if cfg.with_dct:
+        resid = dct_decompress_residual(resid, cfg)
+    return M.reconstruct_wrap(recon, resid)
 
 
 @functools.lru_cache(maxsize=None)
 def make_sharded_encoder(mesh: Mesh, cfg: CodecConfig, h: int, w: int):
     """Returns jitted fn(i_frames [B,3,H,W] i32, p_frames [B,P,3,H,W] i32)
-    -> EncodedGOP batch sharded over (gop, tile)."""
+    -> EncodedGOP batch sharded over (gop, tile).
+
+    Supports the full config space of the unsharded pipeline: B-frame
+    patterns (anchors decoded tile-locally, then a second ppermute halo
+    exchange of the decoded-anchor stack feeds the bidirectional tile
+    searches) and lossy intra-coded I-frames (the wavefront intra stage runs
+    gop-parallel before the spatial shard — it is raster-sequential per
+    frame, so its parallel axis is the GOP batch, not tiles). p_frames must
+    hold complete GOPs (F == gop_len-1) when the pattern has B frames."""
     n_tile = mesh.shape["tile"]
     th = h // n_tile
     bs = cfg.block_size
@@ -225,99 +261,187 @@ def make_sharded_encoder(mesh: Mesh, cfg: CodecConfig, h: int, w: int):
     plan = make_plan(h, w, bs, cfg.search_reach, cfg.search_step)
     valid_i = jnp.asarray(plan.valid_i)            # [nbh, K]
     pos_i = jnp.asarray(plan.pos_i)
+    use_b = cfg.has_b
+    if use_b:
+        _, _, prev_slot, next_slot, p_sel, b_sel = gop_layout(cfg.gop_pattern)
 
     def local_fn(i_t, p_t, valid_i_t, pos_i_t):
-        # i_t [Bl, 3, th, W]; p_t [Bl, Pf, 3, th, W]
+        # i_t [Bl, 3, th, W]; p_t [Bl, Pf, 3, th, W] (all non-I, display order)
         tile_idx = lax.axis_index("tile")
         strip = _halo_exchange(i_t, halo, "tile")  # [Bl, 3, th+2h, W]
+        p_f = p_t[:, np.array(p_sel)] if use_b else p_t
 
-        def search_gop(i_strip, p_frames):
+        def search_frames(ref_strip, frames):
             return jax.vmap(lambda p: tile_motion_search(
-                p, i_strip, valid_i_t, pos_i_t, tile_idx, cfg, h, w, th)
-            )(p_frames)
+                p, ref_strip, valid_i_t, pos_i_t, tile_idx, cfg, h, w, th)
+            )(frames)
 
-        if not cfg.with_residual:
-            return i_t, jax.vmap(search_gop)(strip, p_t)
+        def compensate_frames(mv, ref_strip):
+            return jax.vmap(lambda m: tile_motion_compensate(
+                m, ref_strip, tile_idx, bs, th, halo))(mv)
 
-        def per_gop(i_strip, p_frames):
-            mv = search_gop(i_strip, p_frames)
-            recon = jax.vmap(lambda m: tile_motion_compensate(
-                m, i_strip, tile_idx, bs, th, halo))(mv)
-            if cfg.with_dct and cfg.quant_mode == "rounded":
-                return mv, dct_compress_residual_signed(p_frames - recon, cfg)
-            resid = M.residuals_wrap(p_frames, recon)
-            if cfg.with_dct:
-                resid = dct_compress_residual(resid, cfg)
-            return mv, resid
+        def p_stage(i_strip, p_frames):
+            mv = search_frames(i_strip, p_frames)
+            if not cfg.with_residual and not use_b:
+                return mv, None, None
+            recon = compensate_frames(mv, i_strip)
+            resid = _tile_encode_residual(p_frames, recon, cfg)
+            dec_p = _tile_apply_residual(recon, resid, cfg) if use_b else None
+            return mv, resid, dec_p
 
-        mv, resid = jax.vmap(per_gop)(strip, p_t)
-        return i_t, mv, resid
+        mv, resid, dec_p = jax.vmap(p_stage)(strip, p_f)
+        out = {"i": i_t, "mv": mv}
+        if resid is not None:
+            out["res"] = resid
+        if not use_b:
+            return out
 
-    out_specs = (_I_SPEC, _MV_SPEC) if not cfg.with_residual \
-        else (_I_SPEC, _MV_SPEC, _RES_SPEC)
+        b_f = p_t[:, np.array(b_sel)]                # [Bl, NB, C, th, W]
+        anchors = jnp.concatenate([i_t[:, None], dec_p], axis=1)
+        a_strip = _halo_exchange(anchors, halo, "tile")  # [Bl, NA, C, th+2h, W]
+        prev_s = a_strip[:, np.array(prev_slot)]     # [Bl, NB, C, th+2h, W]
+        next_s = a_strip[:, np.array(next_slot)]
+
+        def b_stage(prev_strips, next_strips, b_frames):
+            def search_one(s, p):
+                return tile_motion_search(p, s, valid_i_t, pos_i_t, tile_idx,
+                                          cfg, h, w, th)
+            mv_f = jax.vmap(search_one)(prev_strips, b_frames)
+            mv_b = jax.vmap(search_one)(next_strips, b_frames)
+            comp = lambda m, s: tile_motion_compensate(m, s, tile_idx, bs,
+                                                       th, halo)
+            pred_f = jax.vmap(comp)(mv_f, prev_strips)
+            pred_b = jax.vmap(comp)(mv_b, next_strips)
+            mode, pred = _b_mode_select(b_frames, pred_f, pred_b, bs)
+            b_resid = _tile_encode_residual(b_frames, pred, cfg)
+            return jnp.stack([mv_f, mv_b], axis=1), mode, b_resid
+
+        b_mv, b_mode, b_res = jax.vmap(b_stage)(prev_s, next_s, b_f)
+        out["bmv"], out["bmode"] = b_mv, b_mode
+        if b_res is not None:
+            out["bres"] = b_res
+        return out
+
+    out_specs = {"i": _I_SPEC, "mv": _MV_SPEC}
+    if cfg.with_residual:
+        out_specs["res"] = _RES_SPEC
+    if use_b:
+        out_specs["bmv"], out_specs["bmode"] = _BMV_SPEC, _BMODE_SPEC
+        if cfg.with_residual:
+            out_specs["bres"] = _RES_SPEC
     fn = jax.shard_map(local_fn, mesh=mesh,
                        in_specs=(_I_SPEC, _P_SPEC, _PLAN_SPEC, _PLAN_SPEC),
                        out_specs=out_specs, check_vma=False)
 
     @jax.jit
     def run(i_frames, p_frames):
+        payload = None
+        if cfg.intra_qstep:
+            from jax.sharding import NamedSharding
+            from vcs_h264_tpu.models import intra_codec
+            # gop-parallel intra stage: frames replicated spatially (the
+            # wavefront is raster-sequential within a frame)
+            i_rep = lax.with_sharding_constraint(
+                i_frames, NamedSharding(mesh, P("gop")))
+            payload, i_rec = intra_codec.encode_intra_frames_lossy_batch(
+                i_rep, cfg.intra_qstep)
+            i_frames = lax.with_sharding_constraint(
+                i_rec, NamedSharding(mesh, _I_SPEC))
         out = fn(i_frames, p_frames, valid_i, pos_i)
-        if cfg.with_residual:
-            return EncodedGOP(i_frame=out[0], mv=out[1], residuals=out[2])
-        return EncodedGOP(i_frame=out[0], mv=out[1], residuals=None)
+        return EncodedGOP(
+            i_frame=out["i"], mv=out["mv"], residuals=out.get("res"),
+            b_mv=out.get("bmv"), b_mode=out.get("bmode"),
+            b_residuals=out.get("bres"),
+            i_qcoef=None if payload is None else payload.qcoef,
+            i_modes=None if payload is None else payload.modes,
+            i_escape=None if payload is None else payload.escape)
 
     return run
 
 
 @functools.lru_cache(maxsize=None)
 def make_sharded_decoder(mesh: Mesh, cfg: CodecConfig, h: int, w: int):
-    """Returns jitted fn(EncodedGOP batch) -> frames [B, 1+P, 3, H, W] i32."""
+    """Returns jitted fn(EncodedGOP batch) -> frames [B, gop_len, 3, H, W]
+    i32 in display order. Handles B-bearing patterns (anchors reconstructed
+    tile-locally, decoded-anchor halo exchange feeds B compensation)."""
     n_tile = mesh.shape["tile"]
     th = h // n_tile
     bs = cfg.block_size
     halo = cfg.search_reach + bs
+    use_b = cfg.has_b
+    if use_b:
+        anchor_pos, b_pos, prev_slot, next_slot, _, _ = \
+            gop_layout(cfg.gop_pattern)
 
-    def local_fn(i_t, mv_t, resid_t):
+    def local_fn(ins):
+        i_t, mv_t = ins["i"], ins["mv"]
+        resid_t = ins.get("res")
         tile_idx = lax.axis_index("tile")
         strip = _halo_exchange(i_t, halo, "tile")
 
+        def compensate_frames(mv, ref_strip):
+            return jax.vmap(lambda m: tile_motion_compensate(
+                m, ref_strip, tile_idx, bs, th, halo))(mv)
+
         def per_gop(i_strip, i_tile, mv, resid):
-            recon = jax.vmap(lambda m: tile_motion_compensate(
-                m, i_strip, tile_idx, bs, th, halo))(mv)
-            if cfg.with_residual and resid is not None:
-                if cfg.with_dct and cfg.quant_mode == "rounded":
-                    out_p = jnp.clip(
-                        recon + dct_decompress_residual_signed(resid, cfg),
-                        0, 255)
-                else:
-                    if cfg.with_dct:
-                        resid = dct_decompress_residual(resid, cfg)
-                    out_p = M.reconstruct_wrap(recon, resid)
-            else:
-                out_p = recon
+            recon = compensate_frames(mv, i_strip)
+            out_p = _tile_apply_residual(recon, resid, cfg)
             return jnp.concatenate([i_tile[None], out_p], axis=0)
 
         if resid_t is None:
-            return jax.vmap(lambda s, i, m: per_gop(s, i, m, None))(
+            anchors = jax.vmap(lambda s, i, m: per_gop(s, i, m, None))(
                 strip, i_t, mv_t)
-        return jax.vmap(per_gop)(strip, i_t, mv_t, resid_t)
+        else:
+            anchors = jax.vmap(per_gop)(strip, i_t, mv_t, resid_t)
+        if not use_b:
+            return anchors                          # [Bl, NA, C, th, W]
 
-    if cfg.with_residual:
-        fn = jax.shard_map(local_fn, mesh=mesh,
-                           in_specs=(_I_SPEC, _MV_SPEC, _RES_SPEC),
+        bmv_t, bmode_t = ins["bmv"], ins["bmode"]
+        bres_t = ins.get("bres")
+        a_strip = _halo_exchange(anchors, halo, "tile")
+        prev_s = a_strip[:, np.array(prev_slot)]
+        next_s = a_strip[:, np.array(next_slot)]
+
+        def b_gop(prev_strips, next_strips, bmv, bmode, bres):
+            comp = lambda m, s: tile_motion_compensate(m, s, tile_idx, bs,
+                                                       th, halo)
+            pred_f = jax.vmap(comp)(bmv[:, 0], prev_strips)
+            pred_b = jax.vmap(comp)(bmv[:, 1], next_strips)
+            pred_bi = (pred_f + pred_b + 1) >> 1
+            mpix = jnp.repeat(jnp.repeat(bmode, bs, axis=-2), bs, axis=-1)
+            mpix = mpix[:, None].astype(jnp.int32)
+            pred = jnp.where(mpix == 0, pred_f,
+                             jnp.where(mpix == 1, pred_b, pred_bi))
+            return _tile_apply_residual(pred, bres, cfg)
+
+        if bres_t is None:
+            out_b = jax.vmap(lambda p, n, m, md: b_gop(p, n, m, md, None))(
+                prev_s, next_s, bmv_t, bmode_t)
+        else:
+            out_b = jax.vmap(b_gop)(prev_s, next_s, bmv_t, bmode_t, bres_t)
+        bl = anchors.shape[0]
+        out = jnp.zeros((bl, cfg.gop_len, *anchors.shape[2:]), jnp.int32)
+        out = out.at[:, np.array(anchor_pos)].set(anchors)
+        return out.at[:, np.array(b_pos)].set(out_b)
+
+    def specs_for(gop: EncodedGOP):
+        ins = {"i": gop.i_frame, "mv": gop.mv}
+        in_specs = {"i": _I_SPEC, "mv": _MV_SPEC}
+        if gop.residuals is not None:
+            ins["res"], in_specs["res"] = gop.residuals, _RES_SPEC
+        if use_b:
+            ins["bmv"], in_specs["bmv"] = gop.b_mv, _BMV_SPEC
+            ins["bmode"], in_specs["bmode"] = gop.b_mode, _BMODE_SPEC
+            if gop.b_residuals is not None:
+                ins["bres"], in_specs["bres"] = gop.b_residuals, _RES_SPEC
+        return ins, in_specs
+
+    @jax.jit
+    def run(gop: EncodedGOP):
+        ins, in_specs = specs_for(gop)
+        fn = jax.shard_map(local_fn, mesh=mesh, in_specs=(in_specs,),
                            out_specs=_FRAMES_SPEC, check_vma=False)
-
-        @jax.jit
-        def run(gop: EncodedGOP):
-            return fn(gop.i_frame, gop.mv, gop.residuals)
-    else:
-        fn = jax.shard_map(lambda i, m: local_fn(i, m, None), mesh=mesh,
-                           in_specs=(_I_SPEC, _MV_SPEC),
-                           out_specs=_FRAMES_SPEC, check_vma=False)
-
-        @jax.jit
-        def run(gop: EncodedGOP):
-            return fn(gop.i_frame, gop.mv)
+        return fn(ins)
 
     return run
 
