@@ -34,6 +34,10 @@ def _add_codec_args(p: argparse.ArgumentParser):
     p.add_argument("--intra-qstep", type=int, default=0,
                    help="lossy intra quant step for I-frames (0 = lossless; "
                         "implies --intra-i)")
+    p.add_argument("--chroma-420", action="store_true",
+                   help="4:2:0 codec mode: Y + quarter-res chroma through "
+                        "the whole pipeline (implies the production quant "
+                        "path)")
     p.add_argument("--gop-batch", type=int, default=8)
     p.add_argument("--max-frames", type=int, default=None)
 
@@ -48,10 +52,13 @@ def _cfg(args):
         with_residual=not args.no_residual,
         quant_mode=args.quant_mode,
         intra_i=args.intra_i or args.intra_qstep > 0,
-        intra_qstep=args.intra_qstep)
+        intra_qstep=args.intra_qstep,
+        chroma_420=args.chroma_420)
     if args.production:
         kw["quant_mode"] = "rounded"
         kw["intra_i"] = True
+    if args.chroma_420:
+        kw["quant_mode"] = "rounded"
     return CodecConfig(**kw)
 
 
@@ -74,11 +81,69 @@ def _load_stream(path: str):
     return EncodedVideo.load_npz(path)
 
 
-def cmd_encode(args):
+def _apply_platform(args):
+    """--platform cpu forces the CPU backend (must run before any backend
+    init; the axon sitecustomize force-registers the TPU tunnel, so an env
+    var alone does not suffice)."""
+    if getattr(args, "platform", None) == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+
+def _encode_distributed(args, cfg):
+    """Multi-process encode: each process initializes jax.distributed,
+    encodes its contiguous assign_gops span into the shared checkpoint dir,
+    barriers, and process 0 assembles the container from the checkpoints
+    (SURVEY.md §2.3 'GOP independence across the video' — the DCN axis)."""
+    import cv2
     from vcs_h264_tpu.models import Encoder
-    enc = Encoder(_cfg(args), gop_batch=args.gop_batch)
+    from vcs_h264_tpu.io.video import VideoReader
+    from vcs_h264_tpu.parallel.distributed import (assign_gops,
+                                                   frame_range_for_gops,
+                                                   init_distributed)
+    import os
+    if not args.coordinator and not os.environ.get("VCS_COORDINATOR"):
+        sys.exit("--procs > 1 requires --coordinator host:port")
+    pid, n = init_distributed(args.coordinator, args.procs, args.proc_id)
+    cap = cv2.VideoCapture(args.input)
+    total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    cap.release()
+    if args.max_frames:
+        total = min(total, args.max_frames)
+    gop_len = cfg.gop_len
+    n_gops = (total + gop_len - 1) // gop_len
+    idxs = assign_gops(n_gops, n, pid)
+    lo, hi = frame_range_for_gops(idxs, gop_len, total)
+    mult = cfg.block_size * (2 if cfg.chroma_420 else 1)
+    reader = VideoReader(args.input, block_multiple=mult, max_frames=total)
+    all_frames = reader.read_all()
+    ck = args.checkpoint_dir or args.output + ".ckpt"
+    enc = Encoder(cfg, gop_batch=args.gop_batch)
+    if lo < hi:
+        enc.encode_frames(all_frames[lo:hi], fps=reader.fps,
+                          checkpoint_dir=ck, gop_index_offset=idxs[0])
+        print(f"[proc {pid}/{n}] encoded GOPs {idxs[0]}..{idxs[-1]} -> {ck}")
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("vcs_encode_done")
+    if pid == 0:
+        # every GOP is checkpointed now; this pass only loads + assembles
+        video = enc.encode_frames(all_frames, fps=reader.fps,
+                                  checkpoint_dir=ck)
+        written = _save_stream(video, args.output)
+        print(f"[proc 0/{n}] wrote {written} ({n_gops} GOPs, {n} procs)")
+
+
+def cmd_encode(args):
+    _apply_platform(args)
+    from vcs_h264_tpu.models import Encoder
+    cfg = _cfg(args)
+    if args.procs > 1:
+        _encode_distributed(args, cfg)
+        return
+    enc = Encoder(cfg, gop_batch=args.gop_batch)
     t0 = time.perf_counter()
-    video = enc.encode_video(args.input, max_frames=args.max_frames)
+    video = enc.encode_video(args.input, max_frames=args.max_frames,
+                             checkpoint_dir=args.checkpoint_dir)
     dt = time.perf_counter() - t0
     written = _save_stream(video, args.output)
     import os
@@ -104,7 +169,8 @@ def cmd_roundtrip(args):
     from vcs_h264_tpu.utils.metrics import psnr, MetricsLogger
 
     cfg = _cfg(args)
-    reader = VideoReader(args.input, block_multiple=cfg.block_size,
+    mult = cfg.block_size * (2 if cfg.chroma_420 else 1)
+    reader = VideoReader(args.input, block_multiple=mult,
                          max_frames=args.max_frames)
     frames = reader.read_all()
     enc = Encoder(cfg, gop_batch=args.gop_batch)
@@ -135,6 +201,28 @@ def cmd_roundtrip(args):
         logger.close()
 
 
+def _save_side_by_side(path: str, panels, titles):
+    """The reference studies' side-by-side matplotlib comparison
+    (chroma.py:43-54, dct.py:206-214, intraframe.py:366-389), saved to a
+    file instead of shown interactively. Panels are BGR or grayscale."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, axes = plt.subplots(1, len(panels), figsize=(6 * len(panels), 5))
+    if len(panels) == 1:
+        axes = [axes]
+    for ax, img, title in zip(axes, panels, titles):
+        if img.ndim == 3:
+            ax.imshow(img[..., ::-1])          # BGR -> RGB
+        else:
+            ax.imshow(img, cmap="gray")
+        ax.set_title(title)
+        ax.axis("off")
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    print(f"wrote comparison plot -> {path}")
+
+
 def cmd_intra(args):
     """The intra study (ref: intraframe.py:319-391): mode search + sparsity."""
     import cv2
@@ -157,11 +245,20 @@ def cmd_intra(args):
     # the reference's printed statistics (intraframe.py:360-365)
     for name, r in [("Y", yres), ("Cb", cbres), ("Cr", crres)]:
         print(f"sparsity ({name}): {sparsity(np.asarray(r)):.6f}")
+    pred = np.dstack([np.asarray(ypred), np.asarray(crpred),
+                      np.asarray(cbpred)]).astype(np.uint8)
+    pred_bgr = cv2.cvtColor(pred, cv2.COLOR_YCR_CB2BGR)
     if args.output:
-        pred = np.dstack([np.asarray(ypred), np.asarray(crpred),
-                          np.asarray(cbpred)]).astype(np.uint8)
-        cv2.imwrite(args.output, cv2.cvtColor(pred, cv2.COLOR_YCR_CB2BGR))
+        cv2.imwrite(args.output, pred_bgr)
         print(f"wrote prediction image -> {args.output}")
+    if args.plot:
+        # the reference's 2x2 figure (intraframe.py:366-389): original,
+        # prediction, residual, mode map — flattened to one row
+        _save_side_by_side(
+            args.plot,
+            [img, pred_bgr, np.abs(np.asarray(yres)).astype(np.uint8),
+             np.asarray(modes).astype(np.uint8)],
+            ["original", "intra prediction", "|Y residual|", "Y mode map"])
 
 
 def cmd_dct_study(args):
@@ -197,6 +294,9 @@ def cmd_dct_study(args):
     if args.output:
         cv2.imwrite(args.output, bgr_hwc)
         print(f"wrote {args.output}")
+    if args.plot:
+        _save_side_by_side(args.plot, [img, bgr_hwc],
+                           ["original", f"DCT roundtrip QF={args.qf:.0f}"])
 
 
 def cmd_chroma_study(args):
@@ -216,14 +316,27 @@ def cmd_chroma_study(args):
     if args.output:
         cv2.imwrite(args.output, out_hwc)
         print(f"wrote {args.output}")
+    if args.plot:
+        _save_side_by_side(args.plot, [img, out_hwc],
+                           ["original", "4:2:0 roundtrip"])
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="vcs_h264_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    p = sub.add_parser("encode", help="encode video -> .npz bitstream")
+    p = sub.add_parser("encode", help="encode video -> .npz/.vcs bitstream")
     p.add_argument("input"); p.add_argument("-o", "--output", required=True)
+    p.add_argument("--procs", type=int, default=1,
+                   help="total processes for multi-host encode "
+                        "(jax.distributed; GOP spans assigned per process)")
+    p.add_argument("--proc-id", type=int, default=None)
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of the jax.distributed coordinator")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="per-GOP checkpoint/resume dir (shared across "
+                        "processes in distributed mode)")
+    p.add_argument("--platform", choices=["default", "cpu"], default="default")
     _add_codec_args(p); p.set_defaults(fn=cmd_encode)
 
     p = sub.add_parser("decode", help="decode .npz bitstream -> video")
@@ -239,16 +352,19 @@ def main(argv=None):
     p = sub.add_parser("intra", help="intra-frame study on an image")
     p.add_argument("input"); p.add_argument("-o", "--output", default=None)
     p.add_argument("--mode", choices=["4x4", "16x16"], default="4x4")
+    p.add_argument("--plot", default=None, help="side-by-side comparison PNG")
     p.set_defaults(fn=cmd_intra)
 
     p = sub.add_parser("dct", help="DCT+quant study on an image")
     p.add_argument("input"); p.add_argument("-o", "--output", default=None)
     p.add_argument("--qf", type=float, default=99.0)
+    p.add_argument("--plot", default=None, help="side-by-side comparison PNG")
     p.add_argument("--block-size", type=int, default=8)
     p.set_defaults(fn=cmd_dct_study)
 
     p = sub.add_parser("chroma", help="4:2:0 subsampling study on an image")
     p.add_argument("input"); p.add_argument("-o", "--output", default=None)
+    p.add_argument("--plot", default=None, help="side-by-side comparison PNG")
     p.set_defaults(fn=cmd_chroma_study)
 
     args = ap.parse_args(argv)

@@ -57,6 +57,14 @@ class CodecConfig:
     # encode/decode stay bit-consistent. Requires intra_i.
     intra_qstep: int = 0
 
+    # 4:2:0 codec mode: frames carried as Y + quarter-res Cr/Cb through the
+    # whole codec (motion on luma, chroma rides halved vectors); the
+    # reference only studied subsampling standalone (ChromaSubsampling/
+    # chroma.py) and never wired it in. Requires the production quant path
+    # (rounded, signed residuals) — wrap semantics are a full-res
+    # reference-parity feature.
+    chroma_420: bool = False
+
     # --- compute -------------------------------------------------------------
     dtype: str = "float32"            # transform math dtype on device
 
@@ -81,6 +89,16 @@ class CodecConfig:
             raise ValueError("intra_qstep must be in [0, 255]")
         if self.intra_qstep and not self.intra_i:
             raise ValueError("intra_qstep > 0 requires intra_i=True")
+        if self.chroma_420:
+            if self.quant_mode != "rounded" or not self.with_dct \
+                    or not self.with_residual:
+                raise ValueError(
+                    "chroma_420 requires the production path (quant_mode="
+                    "'rounded', with_dct, with_residual): wrap-residual "
+                    "semantics are a full-res reference-parity feature")
+            if self.has_b:
+                raise ValueError("chroma_420 with B-frame patterns is not "
+                                 "yet supported")
 
     @property
     def gop_len(self) -> int:

@@ -32,9 +32,10 @@ from vcs_h264_tpu.ops.quant import zigzag_order_np
 
 _MAGIC = b"VCSH264T"
 # v4 added per-GOP B-frame sections; v5 adds intra_qstep in the header and a
-# per-GOP I-frame type byte (raw / lossless intra / lossy intra). Older
-# versions still load.
-_VERSION = 5
+# per-GOP I-frame type byte (raw / lossless intra / lossy intra); v6 adds the
+# 4:2:0 stream layout (header mode bit 8; per-GOP Y + quarter-res chroma
+# sections). Older versions still load.
+_VERSION = 6
 
 # ---------------------------------------------------------------------------
 # native library loading (with build-on-demand) + python fallback
@@ -216,6 +217,127 @@ def _unzigzag_plane(flat: np.ndarray, shape, bs: int) -> np.ndarray:
     return x.reshape(*lead, h, w)
 
 
+def _write_intra_payload(fh, qcoef, modes, escape) -> None:
+    """One lossy-intra payload section: zigzag4+RLE coeffs, raw modes,
+    RLE escape."""
+    q_blob = rle_encode(_zigzag_plane(np.asarray(qcoef, np.int16), 4))
+    modes_b = np.asarray(modes, np.int8).tobytes()
+    esc = rle_encode(np.asarray(escape).astype(np.int16).ravel())
+    fh.write(struct.pack("<QQQ", len(q_blob), len(modes_b), len(esc)))
+    fh.write(q_blob); fh.write(modes_b); fh.write(esc)
+
+
+def _read_intra_payload(fh, shape):
+    """Inverse of _write_intra_payload for a [C, H, W] plane stack."""
+    c, ih, iw = shape
+    ql, ml, el = struct.unpack("<QQQ", fh.read(24))
+    iq = _unzigzag_plane(rle_decode(fh.read(ql), c * ih * iw),
+                         (c, ih, iw), 4).astype(np.int16)
+    imodes = np.frombuffer(fh.read(ml), np.int8).reshape(c, ih // 4, iw // 4)
+    iesc = rle_decode(fh.read(el), c * (ih // 4) * (iw // 4))
+    return iq, imodes, iesc.reshape(c, ih // 4, iw // 4).astype(bool)
+
+
+def _save_vcs_420(video: EncodedVideo, fh) -> None:
+    """Per-GOP 4:2:0 sections: Y + quarter-res chroma (pipeline420)."""
+    cfg = video.config
+    bs = cfg.block_size
+    for gop in video.gops:
+        h, w = gop.i_y.shape[-2:]
+        fh.write(struct.pack("<II", h, w))
+        if gop.iq_y is not None and cfg.intra_qstep:
+            fh.write(struct.pack("<B", 2))
+            _write_intra_payload(fh, gop.iq_y, gop.im_y, gop.ie_y)
+            _write_intra_payload(fh, gop.iq_c, gop.im_c, gop.ie_c)
+        elif cfg.intra_i:
+            fh.write(struct.pack("<B", 1))
+            from vcs_h264_tpu.models.intra_codec import encode_intra_frame
+            for planes in (np.asarray(gop.i_y, np.int32)[None],
+                           np.asarray(gop.i_c, np.int32)):
+                intra = encode_intra_frame(planes)
+                res_blob = rle_encode(np.asarray(intra.residual).ravel())
+                modes_b = np.asarray(intra.modes, np.int8).tobytes()
+                esc = rle_encode(np.asarray(intra.escape).astype(np.int16)
+                                 .ravel())
+                fh.write(struct.pack("<QQQ", len(res_blob), len(modes_b),
+                                     len(esc)))
+                fh.write(res_blob); fh.write(modes_b); fh.write(esc)
+        else:
+            fh.write(struct.pack("<B", 0))
+            fh.write(np.asarray(gop.i_y, np.uint8).tobytes())
+            fh.write(np.asarray(gop.i_c, np.uint8).tobytes())
+        fh.write(struct.pack("<I", gop.mv.shape[0]))
+        mv_blob = rle_encode(np.asarray(gop.mv, np.int16).ravel())
+        fh.write(struct.pack("<Q", len(mv_blob)))
+        fh.write(mv_blob)
+        for res in (gop.res_y, gop.res_c):
+            if res is None:
+                fh.write(struct.pack("<Q", 0))
+                continue
+            blob = rle_encode(_zigzag_plane(
+                np.asarray(res, np.int16), bs))
+            fh.write(struct.pack("<Q", len(blob)))
+            fh.write(blob)
+
+
+def _load_vcs_420(fh, cfg: CodecConfig, n_gops: int, bs: int):
+    from vcs_h264_tpu.models.pipeline420 import (EncodedGOP420,
+                                                 decode_intra_420)
+    from vcs_h264_tpu.models.intra_codec import (IntraFrame,
+                                                 decode_intra_frame)
+    import jax.numpy as jnp
+    gops = []
+    for _ in range(n_gops):
+        h, w = struct.unpack("<II", fh.read(8))
+        hc, wc = h // 2, w // 2
+        (itype,) = struct.unpack("<B", fh.read(1))
+        iq = im = ie = iqc = imc = iec = None
+        i_y = i_c = None
+        if itype == 2:
+            iq, im, ie = _read_intra_payload(fh, (1, h, w))
+            iqc, imc, iec = _read_intra_payload(fh, (2, hc, wc))
+        elif itype == 1:
+            planes = []
+            for shape in ((1, h, w), (2, hc, wc)):
+                c, ih, iw = shape
+                rl, ml, el = struct.unpack("<QQQ", fh.read(24))
+                res = rle_decode(fh.read(rl), c * ih * iw).reshape(shape)
+                modes = np.frombuffer(fh.read(ml), np.int8).reshape(
+                    c, ih // 4, iw // 4)
+                esc = rle_decode(fh.read(el), c * (ih // 4) * (iw // 4))
+                esc = esc.reshape(c, ih // 4, iw // 4).astype(bool)
+                planes.append(np.asarray(decode_intra_frame(IntraFrame(
+                    jnp.asarray(res), jnp.asarray(modes),
+                    jnp.asarray(esc)))).astype(np.int32))
+            i_y, i_c = planes[0][0], planes[1]
+        else:
+            i_y = np.frombuffer(fh.read(h * w), np.uint8).reshape(
+                h, w).astype(np.int32)
+            i_c = np.frombuffer(fh.read(2 * hc * wc), np.uint8).reshape(
+                2, hc, wc).astype(np.int32)
+        (n_p,) = struct.unpack("<I", fh.read(4))
+        (mv_len,) = struct.unpack("<Q", fh.read(8))
+        nbh, nbw = h // bs, w // bs
+        mv = rle_decode(fh.read(mv_len), n_p * nbh * nbw * 2)
+        mv = mv.reshape(n_p, nbh, nbw, 2).astype(np.int32)
+        res = []
+        for shape in ((n_p, h, w), (n_p, 2, hc, wc)):
+            (blob_len,) = struct.unpack("<Q", fh.read(8))
+            if blob_len == 0:
+                res.append(None)
+                continue
+            flat = rle_decode(fh.read(blob_len), int(np.prod(shape)))
+            res.append(_unzigzag_plane(flat, shape, bs).astype(np.int16))
+        gop = EncodedGOP420(i_y=i_y, i_c=i_c, mv=mv,
+                            res_y=res[0], res_c=res[1],
+                            iq_y=iq, im_y=im, ie_y=ie,
+                            iq_c=iqc, im_c=imc, ie_c=iec)
+        if itype == 2:
+            gop = decode_intra_420(gop, cfg.intra_qstep)
+        gops.append(gop)
+    return gops
+
+
 def save_vcs(video: EncodedVideo, path: str) -> None:
     """Serialize an EncodedVideo (quant_mode='rounded' for real compression;
     'reference'-mode float residuals are quantize-rounded on write)."""
@@ -226,6 +348,8 @@ def save_vcs(video: EncodedVideo, path: str) -> None:
         mode = (2 if cfg.with_dct else (1 if cfg.with_residual else 0))
         if cfg.intra_i:
             mode |= 4
+        if cfg.chroma_420:
+            mode |= 8
         fh.write(struct.pack(
             "<IIIdIIdII", _VERSION, video.height, video.width, video.fps,
             video.num_frames, bs, cfg.quality_factor, len(video.gops),
@@ -234,6 +358,9 @@ def save_vcs(video: EncodedVideo, path: str) -> None:
         fh.write(struct.pack("<I", len(pat)))
         fh.write(pat)
         fh.write(struct.pack("<I", cfg.intra_qstep))
+        if cfg.chroma_420:
+            _save_vcs_420(video, fh)
+            return
         for gop in video.gops:
             i_frame = np.asarray(gop.i_frame, dtype=np.uint8)
             mv = np.asarray(gop.mv, dtype=np.int16)
@@ -307,11 +434,12 @@ def load_vcs(path: str) -> EncodedVideo:
             raise ValueError("not a .vcs file")
         (version, h, w, fps, num_frames, bs, qf, n_gops,
          mode) = struct.unpack("<IIIdIIdII", fh.read(44))
-        if version not in (3, 4, _VERSION):
+        if version not in (3, 4, 5, _VERSION):
             raise ValueError(f"unsupported version {version}")
         (pat_len,) = struct.unpack("<I", fh.read(4))
         pattern = tuple(fh.read(pat_len).decode().split(","))
         intra_i = bool(mode & 4)
+        chroma_420 = bool(mode & 8)
         mode &= 3
         intra_qstep = 0
         if version >= 5:
@@ -320,7 +448,13 @@ def load_vcs(path: str) -> EncodedVideo:
                           quality_factor=qf,
                           with_dct=(mode == 2), with_residual=(mode >= 1),
                           quant_mode="rounded" if mode == 2 else "reference",
-                          intra_i=intra_i, intra_qstep=intra_qstep)
+                          intra_i=intra_i, intra_qstep=intra_qstep,
+                          chroma_420=chroma_420)
+        if chroma_420:
+            return EncodedVideo(
+                config=cfg, height=h, width=w, fps=fps,
+                num_frames=num_frames,
+                gops=_load_vcs_420(fh, cfg, n_gops, bs))
         gops = []
         for _ in range(n_gops):
             c, ih, iw = struct.unpack("<III", fh.read(12))

@@ -66,13 +66,26 @@ class VideoReader:
 
 
 class VideoWriter:
-    """BGR uint8 frame sink (ref: decoder.py:25-26, X264 fourcc @ fps)."""
+    """BGR uint8 frame sink (ref: decoder.py:25-26, X264 fourcc @ fps).
+
+    fourcc "auto" tries the reference's X264, then avc1, then mp4v — the
+    first codec this OpenCV build actually opens."""
 
     def __init__(self, path: str, width: int, height: int, fps: float = 25.0,
-                 fourcc: str = "mp4v"):
+                 fourcc: str = "auto"):
         cv2 = _require_cv2()
-        self.out = cv2.VideoWriter(
-            path, cv2.VideoWriter_fourcc(*fourcc), fps, (width, height))
+        candidates = ["X264", "avc1", "mp4v"] if fourcc == "auto" else [fourcc]
+        self.out = None
+        for fc in candidates:
+            out = cv2.VideoWriter(
+                path, cv2.VideoWriter_fourcc(*fc), fps, (width, height))
+            if out.isOpened():
+                self.out, self.fourcc = out, fc
+                break
+            out.release()
+        if self.out is None:
+            raise RuntimeError(
+                f"no usable fourcc among {candidates} for {path}")
 
     def write(self, frame: np.ndarray) -> None:
         self.out.write(np.ascontiguousarray(frame, dtype=np.uint8))

@@ -24,6 +24,8 @@ class Decoder:
         """-> list of BGR uint8 frames, in stream order."""
         import dataclasses
         cfg = video.config
+        if cfg.chroma_420:
+            return self._decode_420(video)
         dec_batch = pipeline.jit_decode_gop_batch_u8(cfg)
         dec_one = pipeline.jit_decode_gop_u8(cfg)
 
@@ -66,6 +68,51 @@ class Decoder:
                     out = np.asarray(dec_one(gop))
                     frames.extend(f.transpose(1, 2, 0).astype(np.uint8)
                                   for f in out)
+        flush()
+        return frames[: video.num_frames]
+
+    def _decode_420(self, video: EncodedVideo) -> List[np.ndarray]:
+        import dataclasses
+        import jax
+        from vcs_h264_tpu.models import pipeline420 as p420
+        cfg = video.config
+        dec_batch = p420.jit_decode_gop_batch_420_u8(cfg)
+        frames: List[np.ndarray] = []
+        buf = []
+
+        def strip(gop):
+            if gop.iq_y is None:
+                return gop
+            return dataclasses.replace(gop, iq_y=None, im_y=None, ie_y=None,
+                                       iq_c=None, im_c=None, ie_c=None)
+
+        def emit(out):
+            for b in range(out.shape[0]):
+                frames.extend(f.transpose(1, 2, 0).astype(np.uint8)
+                              for f in out[b])
+
+        def flush():
+            if not buf:
+                return
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *buf)
+            emit(np.asarray(dec_batch(stacked)))
+            buf.clear()
+
+        for gop in video.gops:
+            gop = strip(gop)
+            if gop.num_coded == cfg.gop_len:
+                buf.append(gop)
+                if len(buf) >= self.gop_batch:
+                    flush()
+            else:
+                flush()
+                if gop.num_p == 0:
+                    bgr = np.asarray(p420.emit_bgr(
+                        jnp.asarray(gop.i_y)[None], jnp.asarray(gop.i_c)[None]))
+                    frames.append(bgr[0].transpose(1, 2, 0).astype(np.uint8))
+                else:
+                    one = jax.tree.map(lambda x: jnp.asarray(x)[None], gop)
+                    emit(np.asarray(dec_batch(one)))
         flush()
         return frames[: video.num_frames]
 

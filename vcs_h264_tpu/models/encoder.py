@@ -42,7 +42,8 @@ def _cfg_fingerprint(cfg: CodecConfig) -> str:
         static_threshold=cfg.static_threshold,
         quality_factor=cfg.quality_factor, with_dct=cfg.with_dct,
         with_residual=cfg.with_residual, quant_mode=cfg.quant_mode,
-        intra_i=cfg.intra_i, intra_qstep=cfg.intra_qstep), sort_keys=True)
+        intra_i=cfg.intra_i, intra_qstep=cfg.intra_qstep,
+        chroma_420=cfg.chroma_420), sort_keys=True)
 
 
 def _save_gop_npz(path: str, gop: EncodedGOP, with_dct: bool,
@@ -75,6 +76,44 @@ def _save_gop_npz(path: str, gop: EncodedGOP, with_dct: bool,
     np.savez_compressed(path, **arrays)
 
 
+def _save_gop_npz_420(path: str, gop, fingerprint: str = "") -> None:
+    arrays = dict(y=np.asarray(gop.i_y, np.uint8),
+                  c=np.asarray(gop.i_c, np.uint8),
+                  mv=np.asarray(gop.mv, np.int16),
+                  cfg=np.array([fingerprint]))
+    if gop.res_y is not None:
+        arrays["resy"] = np.asarray(gop.res_y, np.int16)
+        arrays["resc"] = np.asarray(gop.res_c, np.int16)
+    if gop.iq_y is not None:
+        arrays.update(iqy=np.asarray(gop.iq_y, np.int16),
+                      imy=np.asarray(gop.im_y, np.int8),
+                      iey=np.asarray(gop.ie_y, bool),
+                      iqc=np.asarray(gop.iq_c, np.int16),
+                      imc=np.asarray(gop.im_c, np.int8),
+                      iec=np.asarray(gop.ie_c, bool))
+    np.savez_compressed(path, **arrays)
+
+
+def _load_gop_npz_420(path: str, fingerprint: str = ""):
+    from vcs_h264_tpu.models.pipeline420 import EncodedGOP420
+    data = np.load(path)
+    stored = str(data["cfg"][0]) if "cfg" in data else None
+    if fingerprint and stored != fingerprint:
+        return None
+    iqy = data["iqy"] if "iqy" in data else None
+    return EncodedGOP420(
+        i_y=data["y"].astype(np.int32), i_c=data["c"].astype(np.int32),
+        mv=data["mv"].astype(np.int32),
+        res_y=data["resy"] if "resy" in data else None,
+        res_c=data["resc"] if "resc" in data else None,
+        iq_y=iqy,
+        im_y=data["imy"] if iqy is not None else None,
+        ie_y=data["iey"] if iqy is not None else None,
+        iq_c=data["iqc"] if iqy is not None else None,
+        im_c=data["imc"] if iqy is not None else None,
+        ie_c=data["iec"] if iqy is not None else None)
+
+
 def _load_gop_npz(path: str, fingerprint: str = "") -> Optional[EncodedGOP]:
     """Load a checkpointed GOP, or None when it was written under a different
     config fingerprint (stale checkpoints are re-encoded, never reused)."""
@@ -103,8 +142,13 @@ class Encoder:
         self.metrics = metrics          # utils.metrics.MetricsLogger or None
 
     def encode_frames(self, frames: List[np.ndarray], fps: float = 25.0,
-                      checkpoint_dir: Optional[str] = None) -> EncodedVideo:
-        """Encode BGR uint8 frames (same shape, block-multiple dims)."""
+                      checkpoint_dir: Optional[str] = None,
+                      gop_index_offset: int = 0) -> EncodedVideo:
+        """Encode BGR uint8 frames (same shape, block-multiple dims).
+
+        gop_index_offset: global index of the first GOP in `frames` — used
+        for checkpoint naming when hosts encode disjoint GOP spans of one
+        video into a shared checkpoint dir (parallel/distributed.py)."""
         if not frames:
             raise ValueError("no frames to encode")
         import time
@@ -117,15 +161,17 @@ class Encoder:
             os.makedirs(checkpoint_dir, exist_ok=True)
 
         def ckpt_path(idx: int) -> Optional[str]:
-            return (os.path.join(checkpoint_dir, f"gop_{idx:06d}.npz")
-                    if checkpoint_dir else None)
+            return (os.path.join(
+                checkpoint_dir, f"gop_{idx + gop_index_offset:06d}.npz")
+                if checkpoint_dir else None)
 
         fingerprint = _cfg_fingerprint(cfg)
+        load_ckpt = _load_gop_npz_420 if cfg.chroma_420 else _load_gop_npz
         encoded: List[Optional[EncodedGOP]] = [None] * len(grouped)
         pending = []
         for idx, (i_f, p_f) in enumerate(grouped):
             path = ckpt_path(idx)
-            gop = (_load_gop_npz(path, fingerprint)
+            gop = (load_ckpt(path, fingerprint)
                    if path and os.path.exists(path) else None)
             if gop is not None:
                 encoded[idx] = gop
@@ -134,6 +180,18 @@ class Encoder:
 
         full = [i for i in pending if grouped[i][1].shape[0] == gop_len - 1]
         tail = [i for i in pending if grouped[i][1].shape[0] != gop_len - 1]
+
+        if cfg.chroma_420:
+            self._encode_pending_420(grouped, full, tail, encoded,
+                                     ckpt_path, fingerprint)
+            video = EncodedVideo(config=cfg, height=h, width=w, fps=fps,
+                                 num_frames=len(frames), gops=encoded)
+            if self.metrics:
+                dt = time.perf_counter() - t_start
+                self.metrics.log("encode_summary", frames=len(frames),
+                                 seconds=dt, fps=len(frames) / dt,
+                                 gops=len(encoded))
+            return video
 
         def lossy_i(i_b):
             """GOP-level closed loop (cfg.intra_qstep): lossy-code the
@@ -205,7 +263,62 @@ class Encoder:
                              gops=len(encoded))
         return video
 
-    def _log_gop(self, idx: int, gop: EncodedGOP) -> None:
+    def _encode_pending_420(self, grouped, full, tail, encoded,
+                            ckpt_path, fingerprint) -> None:
+        """4:2:0 mode: the whole GOP batch (ingest, luma search, chroma on
+        halved vectors, per-plane DCT/quant, optional lossy intra) is one
+        jitted program (models/pipeline420.py)."""
+        from vcs_h264_tpu.models import pipeline420 as p420
+        cfg = self.cfg
+        enc_batch = p420.jit_encode_gop_batch_420(cfg)
+
+        def finish(idx, gop):
+            encoded[idx] = gop
+            self._log_gop(idx, gop)
+            if ckpt_path(idx):
+                _save_gop_npz_420(ckpt_path(idx), gop, fingerprint)
+
+        for start in range(0, len(full), self.gop_batch):
+            idxs = full[start:start + self.gop_batch]
+            i_b = jnp.asarray(np.stack([grouped[i][0] for i in idxs])
+                              .transpose(0, 3, 1, 2))
+            p_b = jnp.asarray(np.stack([grouped[i][1] for i in idxs])
+                              .transpose(0, 1, 4, 2, 3))
+            out = enc_batch(i_b, p_b)
+            for bi, idx in enumerate(idxs):
+                finish(idx, jax.tree.map(lambda x, _bi=bi: x[_bi], out))
+
+        for idx in tail:
+            i_f, p_f = grouped[idx]
+            i_pl = jnp.asarray(i_f.transpose(2, 0, 1))[None]
+            if p_f.shape[0] == 0:
+                h, w = i_f.shape[:2]
+                nbh, nbw = h // cfg.block_size, w // cfg.block_size
+                mv0 = jnp.zeros((0, nbh, nbw, 2), jnp.int32)
+                if cfg.intra_qstep:
+                    from vcs_h264_tpu.models import intra_codec
+                    y, c = p420.ingest_420(i_pl.astype(jnp.int32))
+                    pay_y, rec_y = intra_codec.encode_intra_frames_lossy_batch(
+                        y[:, None], cfg.intra_qstep)
+                    pay_c, rec_c = intra_codec.encode_intra_frames_lossy_batch(
+                        c, cfg.intra_qstep)
+                    gop = p420.EncodedGOP420(
+                        i_y=rec_y[0, 0], i_c=rec_c[0], mv=mv0,
+                        res_y=None, res_c=None,
+                        iq_y=pay_y.qcoef[0], im_y=pay_y.modes[0],
+                        ie_y=pay_y.escape[0], iq_c=pay_c.qcoef[0],
+                        im_c=pay_c.modes[0], ie_c=pay_c.escape[0])
+                else:
+                    y, c = p420.ingest_420(i_pl.astype(jnp.int32))
+                    gop = p420.EncodedGOP420(i_y=y[0], i_c=c[0], mv=mv0,
+                                             res_y=None, res_c=None)
+            else:
+                out = enc_batch(
+                    i_pl, jnp.asarray(p_f.transpose(0, 3, 1, 2))[None])
+                gop = jax.tree.map(lambda x: x[0], out)
+            finish(idx, gop)
+
+    def _log_gop(self, idx: int, gop) -> None:
         if not self.metrics:
             return
         from vcs_h264_tpu.ops.motion import num_static_blocks
@@ -214,8 +327,11 @@ class Encoder:
             if mv.ndim >= 3 else 1
         static = int(np.sum(np.all(mv == 0, axis=-1))) if mv.size else 0
         rec = {"gop": idx, "static_block_ratio": static / n_blocks}
-        if gop.residuals is not None:
-            res = np.asarray(gop.residuals)
+        res = getattr(gop, "residuals", None)
+        if res is None:
+            res = getattr(gop, "res_y", None)
+        if res is not None:
+            res = np.asarray(res)
             if self.cfg.with_dct:
                 nz = int(np.count_nonzero(np.round(res)))
                 rec["nonzero_coeff_ratio"] = nz / res.size   # bits proxy
@@ -224,7 +340,9 @@ class Encoder:
     def encode_video(self, path: str, max_frames: Optional[int] = None,
                      checkpoint_dir: Optional[str] = None) -> EncodedVideo:
         from vcs_h264_tpu.io.video import VideoReader
-        reader = VideoReader(path, block_multiple=self.cfg.block_size,
+        # 4:2:0 needs dims divisible by 2*bs (half-res chroma DCT blocks)
+        mult = self.cfg.block_size * (2 if self.cfg.chroma_420 else 1)
+        reader = VideoReader(path, block_multiple=mult,
                              max_frames=max_frames)
         frames = reader.read_all()
         return self.encode_frames(frames, fps=reader.fps,

@@ -106,6 +106,9 @@ class EncodedVideo:
                 res = res.astype(np.uint8)          # wrap residuals are bytes
             arrays[key] = res
 
+        if self.config.chroma_420:
+            self._save_npz_420(path, arrays)
+            return
         # MVs are int16: values are bounded by search_reach, and int8 would
         # silently wrap any config with search_reach > 127.
         for g, gop in enumerate(self.gops):
@@ -123,7 +126,11 @@ class EncodedVideo:
                 arrays[f"gop{g}_iq"] = np.asarray(gop.i_qcoef, np.int16)
                 arrays[f"gop{g}_imodes"] = np.asarray(gop.i_modes, np.int8)
                 arrays[f"gop{g}_iesc"] = np.asarray(gop.i_escape, bool)
-        meta = dict(height=self.height, width=self.width, fps=self.fps,
+        np.savez_compressed(path, _meta=np.array([json.dumps(
+            self._meta_dict())]), **arrays)
+
+    def _meta_dict(self) -> dict:
+        return dict(height=self.height, width=self.width, fps=self.fps,
                     num_frames=self.num_frames, num_gops=len(self.gops),
                     block_size=self.config.block_size,
                     gop_pattern=",".join(self.config.gop_pattern),
@@ -133,8 +140,51 @@ class EncodedVideo:
                     quant_mode=self.config.quant_mode,
                     search_reach=self.config.search_reach,
                     intra_i=int(self.config.intra_i),
-                    intra_qstep=self.config.intra_qstep)
-        np.savez_compressed(path, _meta=np.array([json.dumps(meta)]), **arrays)
+                    intra_qstep=self.config.intra_qstep,
+                    chroma_420=int(self.config.chroma_420))
+
+    def _save_npz_420(self, path: str, arrays: dict) -> None:
+        """4:2:0 stream: Y + quarter-res chroma planes per GOP
+        (models/pipeline420.py)."""
+        for g, gop in enumerate(self.gops):
+            arrays[f"gop{g}_y"] = np.asarray(gop.i_y, np.uint8)
+            arrays[f"gop{g}_c"] = np.asarray(gop.i_c, np.uint8)
+            arrays[f"gop{g}_mv"] = np.asarray(gop.mv, np.int16)
+            if gop.res_y is not None:
+                arrays[f"gop{g}_resy"] = np.asarray(gop.res_y, np.int16)
+                arrays[f"gop{g}_resc"] = np.asarray(gop.res_c, np.int16)
+            if gop.iq_y is not None:
+                for k, v, dt in (("iqy", gop.iq_y, np.int16),
+                                 ("imy", gop.im_y, np.int8),
+                                 ("iey", gop.ie_y, bool),
+                                 ("iqc", gop.iq_c, np.int16),
+                                 ("imc", gop.im_c, np.int8),
+                                 ("iec", gop.ie_c, bool)):
+                    arrays[f"gop{g}_{k}"] = np.asarray(v, dt)
+        np.savez_compressed(path, _meta=np.array([json.dumps(
+            self._meta_dict())]), **arrays)
+
+    @classmethod
+    def _load_npz_420(cls, data, meta, cfg: "CodecConfig") -> "EncodedVideo":
+        from vcs_h264_tpu.models.pipeline420 import EncodedGOP420
+        gops = []
+        for g in range(int(meta["num_gops"])):
+            resy = data.get(f"gop{g}_resy")
+            iqy = data.get(f"gop{g}_iqy")
+            gops.append(EncodedGOP420(
+                i_y=data[f"gop{g}_y"].astype(np.int32),
+                i_c=data[f"gop{g}_c"].astype(np.int32),
+                mv=data[f"gop{g}_mv"].astype(np.int32),
+                res_y=resy,
+                res_c=data.get(f"gop{g}_resc"),
+                iq_y=iqy,
+                im_y=data.get(f"gop{g}_imy") if iqy is not None else None,
+                ie_y=data.get(f"gop{g}_iey") if iqy is not None else None,
+                iq_c=data.get(f"gop{g}_iqc") if iqy is not None else None,
+                im_c=data.get(f"gop{g}_imc") if iqy is not None else None,
+                ie_c=data.get(f"gop{g}_iec") if iqy is not None else None))
+        return cls(cfg, int(meta["height"]), int(meta["width"]),
+                   float(meta["fps"]), int(meta["num_frames"]), gops)
 
     @classmethod
     def load_npz(cls, path: str) -> "EncodedVideo":
@@ -155,7 +205,10 @@ class EncodedVideo:
             quant_mode=meta["quant_mode"],
             search_reach=int(meta.get("search_reach", 16)),
             intra_i=bool(meta.get("intra_i", 0)),
-            intra_qstep=int(meta.get("intra_qstep", 0)))
+            intra_qstep=int(meta.get("intra_qstep", 0)),
+            chroma_420=bool(meta.get("chroma_420", 0)))
+        if cfg.chroma_420:
+            return cls._load_npz_420(data, meta, cfg)
         gops = []
         for g in range(int(meta["num_gops"])):
             res = data.get(f"gop{g}_res")

@@ -36,17 +36,29 @@ def psnr_jnp(a: jnp.ndarray, b: jnp.ndarray, max_val: float = 255.0):
     return 10.0 * jnp.log10(max_val * max_val / jnp.maximum(mse, 1e-10))
 
 
-def ssim(a, b, max_val: float = 255.0) -> float:
-    """Global (single-window) SSIM — a lightweight structural metric."""
+def ssim(a, b, max_val: float = 255.0, win: int = 8) -> float:
+    """Mean local SSIM over sliding uniform windows (win x win, per
+    channel), the standard structural similarity formulation with a uniform
+    filter in place of the 11x11 Gaussian. Inputs are HxW or HxWxC
+    uint8-valued arrays."""
+    from scipy.ndimage import uniform_filter
     a = np.asarray(a, dtype=np.float64)
     b = np.asarray(b, dtype=np.float64)
+    if a.ndim == 3:                    # per-channel mean
+        return float(np.mean([ssim(a[..., c], b[..., c], max_val, win)
+                              for c in range(a.shape[-1])]))
     c1 = (0.01 * max_val) ** 2
     c2 = (0.03 * max_val) ** 2
-    mu_a, mu_b = a.mean(), b.mean()
-    va, vb = a.var(), b.var()
-    cov = ((a - mu_a) * (b - mu_b)).mean()
-    return float(((2 * mu_a * mu_b + c1) * (2 * cov + c2))
-                 / ((mu_a ** 2 + mu_b ** 2 + c1) * (va + vb + c2)))
+    mu_a = uniform_filter(a, win)
+    mu_b = uniform_filter(b, win)
+    va = uniform_filter(a * a, win) - mu_a * mu_a
+    vb = uniform_filter(b * b, win) - mu_b * mu_b
+    cov = uniform_filter(a * b, win) - mu_a * mu_b
+    s = (((2 * mu_a * mu_b + c1) * (2 * cov + c2))
+         / ((mu_a ** 2 + mu_b ** 2 + c1) * (va + vb + c2)))
+    # crop the filter's edge-padded border
+    m = win // 2
+    return float(s[m:-m or None, m:-m or None].mean())
 
 
 def sparsity(x) -> float:
