@@ -145,3 +145,69 @@ def test_vcs_lossy_intra_survives_checkpoint(tmp_path, rng):
     got2 = Decoder().decode(bs.load_vcs(p2))
     for a, b in zip(got1, got2):
         np.testing.assert_array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Malformed-input robustness: truncation and lying length fields must raise
+# ValueError — never crash, hang, or allocate unbounded memory.
+
+
+def _tiny_vcs(tmp_path, rng):
+    from vcs_h264_tpu.config import CodecConfig
+    from vcs_h264_tpu.models import Encoder
+    frames = [rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+              for _ in range(4)]
+    video = Encoder(CodecConfig(quant_mode="rounded")).encode_frames(frames)
+    path = str(tmp_path / "ok.vcs")
+    bs.save_vcs(video, path)
+    return path
+
+
+def test_vcs_rejects_bad_magic(tmp_path):
+    p = str(tmp_path / "bad.vcs")
+    open(p, "wb").write(b"NOTAVCS0" + b"\x00" * 64)
+    with pytest.raises(ValueError):
+        bs.load_vcs(p)
+
+
+def test_vcs_truncations_raise(tmp_path, rng):
+    src = open(_tiny_vcs(tmp_path, rng), "rb").read()
+    # cut the file at many points, incl. mid-header and mid-blob
+    for cut in [4, 8, 30, 52, 60, len(src) // 2, len(src) - 3]:
+        p = str(tmp_path / f"cut{cut}.vcs")
+        open(p, "wb").write(src[:cut])
+        with pytest.raises(ValueError):
+            bs.load_vcs(p)
+
+
+def test_vcs_lying_length_field_raises(tmp_path, rng):
+    import struct
+    src = bytearray(open(_tiny_vcs(tmp_path, rng), "rb").read())
+    # the first 8-byte length field after the per-GOP I-frame section is the
+    # MV blob length; find a plausible <Q length and inflate it wildly. Safer
+    # generic approach: flip every aligned u32 to huge and expect either a
+    # clean ValueError or an unchanged-decode (field wasn't a length), never
+    # a crash/OOM.
+    for off in range(8, min(len(src) - 4, 256), 4):
+        cur = bytes(src)
+        mod = bytearray(cur)
+        mod[off:off + 4] = struct.pack("<I", 0x7FFFFFFF)
+        p = str(tmp_path / "lying.vcs")
+        open(p, "wb").write(mod)
+        try:
+            bs.load_vcs(p)
+        except ValueError:
+            pass                         # the required failure mode
+        except OverflowError:
+            pass                         # struct range error is acceptable
+
+
+def test_vcs_implausible_dims_raise(tmp_path, rng):
+    import struct
+    src = bytearray(open(_tiny_vcs(tmp_path, rng), "rb").read())
+    # header: magic(8) | version u32 | h u32 | w u32 ...
+    src[12:16] = struct.pack("<I", 1 << 30)      # h = 2^30
+    p = str(tmp_path / "dims.vcs")
+    open(p, "wb").write(src)
+    with pytest.raises(ValueError):
+        bs.load_vcs(p)

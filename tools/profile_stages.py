@@ -85,6 +85,40 @@ def main():
             pipeline.decode_gop_batch(pipeline.encode_gop_batch(
                 i_b, jnp.roll(p_b, it & 7, axis=-1), cfg), cfg))),
     }
+
+    # ---- production / 420 stages ------------------------------------------
+    from vcs_h264_tpu.models import intra_codec, pipeline420
+    QSTEP = 24
+    pcfg = CodecConfig.production(intra_qstep=QSTEP)
+    ccfg = CodecConfig(quant_mode="rounded", chroma_420=True,
+                       intra_i=True, intra_qstep=QSTEP)
+    pay0, rec0 = intra_codec.encode_intra_frames_lossy_batch(i_b, QSTEP)
+    pay0 = jax.block_until_ready(pay0)
+
+    def prod_step(it, acc):
+        import dataclasses
+        p = jnp.roll(p_b, it & 7, axis=-1)
+        pay, i_rec = intra_codec.encode_intra_frames_lossy_batch(i_b, QSTEP)
+        enc = pipeline.encode_gop_batch(i_rec, p, pcfg)
+        i_dec = intra_codec.decode_intra_frames_lossy_batch(pay, QSTEP)
+        dec = pipeline.decode_gop_batch(
+            dataclasses.replace(enc, i_frame=i_dec), pcfg)
+        return acc + jnp.sum(enc.mv) + jnp.sum(dec)
+
+    stages.update({
+        "intra_lossy_enc": loop(lambda it, acc: acc + jnp.sum(
+            intra_codec.encode_intra_frames_lossy_batch(
+                jnp.roll(i_b, it & 7, axis=-1), QSTEP)[1])),
+        "intra_lossy_dec": loop(lambda it, acc: acc + jnp.sum(
+            intra_codec.decode_intra_frames_lossy_batch(pay0, QSTEP))
+            + 0 * it),
+        "production_e2e": loop(prod_step),
+        "chroma420_e2e": loop(lambda it, acc: acc + jnp.sum(
+            pipeline420.decode_gop_batch_420(
+                pipeline420.encode_gop_batch_420(
+                    i_b[..., :352, :], jnp.roll(p_b, it & 7, axis=-1)
+                    [..., :352, :], ccfg), ccfg))),
+    })
     for name, fn in stages.items():
         _ = int(fn())      # compile + warm
         t0 = time.perf_counter()

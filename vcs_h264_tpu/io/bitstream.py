@@ -152,13 +152,16 @@ def _py_decode(blob: bytes, n: int) -> np.ndarray:
     r = _BitReader(blob)
     out = np.zeros(n, np.int16)
     i = 0
-    while i < n:
-        run = r.ue()
-        i += min(run, n - i)
-        if i >= n:
-            break
-        out[i] = r.se()
-        i += 1
+    try:
+        while i < n:
+            run = r.ue()
+            i += min(run, n - i)
+            if i >= n:
+                break
+            out[i] = r.se()
+            i += 1
+    except IndexError:
+        raise ValueError("bitstream decode error: truncated blob") from None
     return out
 
 
@@ -289,6 +292,8 @@ def _load_vcs_420(fh, cfg: CodecConfig, n_gops: int, bs: int):
     gops = []
     for _ in range(n_gops):
         h, w = struct.unpack("<II", fh.read(8))
+        if not (1 <= h <= 16384 and 1 <= w <= 16384):
+            raise ValueError(f".vcs: implausible GOP plane dims {h}x{w}")
         hc, wc = h // 2, w // 2
         (itype,) = struct.unpack("<B", fh.read(1))
         iq = im = ie = iqc = imc = iec = None
@@ -428,15 +433,48 @@ def save_vcs(video: EncodedVideo, path: str) -> None:
                 fh.write(bres)
 
 
+class _CheckedReader:
+    """File wrapper that validates every read length against the remaining
+    file size, so lying length fields in a malformed .vcs raise ValueError
+    instead of allocating unbounded memory or silently truncating."""
+
+    def __init__(self, fh):
+        import os as _os
+        self._fh = fh
+        self._size = _os.fstat(fh.fileno()).st_size
+
+    def read(self, n: int) -> bytes:
+        if n < 0:
+            raise ValueError(".vcs: negative read")
+        left = self._size - self._fh.tell()
+        if n > left:
+            raise ValueError(
+                f".vcs truncated or lying length field: need {n} bytes, "
+                f"{left} left")
+        data = self._fh.read(n)
+        if len(data) != n:
+            raise ValueError(".vcs truncated")
+        return data
+
+
 def load_vcs(path: str) -> EncodedVideo:
-    with open(path, "rb") as fh:
+    with open(path, "rb") as raw_fh:
+        fh = _CheckedReader(raw_fh)
         if fh.read(8) != _MAGIC:
             raise ValueError("not a .vcs file")
         (version, h, w, fps, num_frames, bs, qf, n_gops,
          mode) = struct.unpack("<IIIdIIdII", fh.read(44))
         if version not in (3, 4, 5, _VERSION):
             raise ValueError(f"unsupported version {version}")
+        if not (1 <= h <= 16384 and 1 <= w <= 16384):
+            raise ValueError(f".vcs: implausible dimensions {h}x{w}")
+        if not (2 <= bs <= 64):
+            raise ValueError(f".vcs: implausible block size {bs}")
+        if num_frames > 10_000_000 or n_gops > 1_000_000:
+            raise ValueError(".vcs: implausible frame/GOP count")
         (pat_len,) = struct.unpack("<I", fh.read(4))
+        if pat_len > 4096:
+            raise ValueError(".vcs: implausible GOP pattern length")
         pattern = tuple(fh.read(pat_len).decode().split(","))
         intra_i = bool(mode & 4)
         chroma_420 = bool(mode & 8)
@@ -458,6 +496,9 @@ def load_vcs(path: str) -> EncodedVideo:
         gops = []
         for _ in range(n_gops):
             c, ih, iw = struct.unpack("<III", fh.read(12))
+            if not (1 <= c <= 4 and 1 <= ih <= 16384 and 1 <= iw <= 16384):
+                raise ValueError(
+                    f".vcs: implausible I-frame shape ({c},{ih},{iw})")
             if version >= 5:
                 (itype,) = struct.unpack("<B", fh.read(1))
             else:
