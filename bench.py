@@ -93,6 +93,13 @@ def main():
         base_fps = base.get("end_to_end_fps")
         base_psnr = base.get("mean_psnr_capped99_db")
 
+    # pre-device artifact: if the TPU tunnel wedges before first contact
+    # (observed), the driver still parses a line instead of recording null
+    print(json.dumps({"metric": "encode_decode_fps_640x360", "value": 0,
+                      "unit": "fps", "vs_baseline": 0, "provisional": True,
+                      "note": "pre-device placeholder; later lines override"}),
+          flush=True)
+
     arr = np.stack(frames).transpose(0, 3, 1, 2).astype(np.int32)  # [N,3,H,W]
     g = cfg.gop_len
     b = len(frames) // g
@@ -168,38 +175,62 @@ def main():
     print(json.dumps(result), flush=True)
 
     # ---- extras: production mode + 720p, while the budget allows ----------
-    def prod_bench(i_frames, p_frames, n_iters, label):
-        pcfg = CodecConfig.production(intra_qstep=QSTEP)
-
-        @jax.jit
-        def loop(i_f, p_f):
-            def step(it):
-                p = jnp.roll(p_f, it & 7, axis=-1)
-                payload, i_rec = intra_codec.encode_intra_frames_lossy_batch(
-                    i_f, QSTEP)
-                enc = pipeline.encode_gop_batch(i_rec, p, pcfg)
-                # real decode: I-frames reconstructed from the intra payload
-                i_dec = intra_codec.decode_intra_frames_lossy_batch(
-                    payload, QSTEP)
-                import dataclasses
-                dec = pipeline.decode_gop_batch(
-                    dataclasses.replace(enc, i_frame=i_dec), pcfg)
-                return jnp.sum(enc.mv) + jnp.sum(dec)
-            return fused_loop(step, n_iters)
-
-        # the tunnel's remote compile helper occasionally SIGSEGVs (flaky,
-        # environment-side); retry — a successful compile also lands in the
-        # persistent cache so subsequent runs skip it entirely
-        for attempt in range(3):
+    # NOTE: the intra encode scan and intra decode scan must live in
+    # SEPARATE programs — compiling both wavefront lax.scans into one XLA
+    # module reliably SIGSEGVs this environment's AOT compile helper
+    # (isolated empirically; either scan alone, or one scan + the full inter
+    # pipeline, compiles fine). Production fps is therefore measured as two
+    # fused loops — (intra-encode + inter encode + inter decode) and
+    # (intra-decode) — and combined by total wall time, which still charges
+    # every production stage.
+    def _timed(loop_fn, *args):
+        for attempt in range(3):        # tunnel compile is also flaky
             try:
-                _ = int(loop(i_frames, p_frames))       # compile + warmup
+                _ = int(loop_fn(*args))                 # compile + warmup
                 break
             except Exception:
                 if attempt == 2 or left() < 40:
                     raise
         t0 = time.perf_counter()
-        _ = int(loop(i_frames, p_frames))
-        dt = time.perf_counter() - t0
+        _ = int(loop_fn(*args))
+        return time.perf_counter() - t0
+
+    def prod_bench(i_frames, p_frames, n_iters, label):
+        pcfg = CodecConfig.production(intra_qstep=QSTEP)
+
+        @jax.jit
+        def loop_enc(i_f, p_f):
+            def step(it):
+                # roll I and P by the same it-dependent amount: nothing is
+                # loop-invariant (hoistable) and the motion search still
+                # operates in its normal regime
+                p = jnp.roll(p_f, it & 7, axis=-1)
+                i = jnp.roll(i_f, it & 7, axis=-1)
+                payload, i_rec = intra_codec.encode_intra_frames_lossy_batch(
+                    i, QSTEP)
+                enc = pipeline.encode_gop_batch(i_rec, p, pcfg)
+                dec = pipeline.decode_gop_batch(enc, pcfg)
+                return (jnp.sum(enc.mv) + jnp.sum(dec)
+                        + jnp.sum(payload.qcoef.astype(jnp.int32)))
+            return fused_loop(step, n_iters)
+
+        payload, _ = intra_codec.encode_intra_frames_lossy_batch(
+            i_frames, QSTEP)
+
+        @jax.jit
+        def loop_dec(pay):
+            def step(it):
+                # roll the coefficients so the decode is not loop-invariant
+                # (XLA would hoist an invariant body out of the fori_loop)
+                p2 = intra_codec.IntraFrameLossy(
+                    jnp.roll(pay.qcoef, it & 7, axis=-1),
+                    pay.modes, pay.escape)
+                i_dec = intra_codec.decode_intra_frames_lossy_batch(
+                    p2, QSTEP)
+                return jnp.sum(i_dec)
+            return fused_loop(step, n_iters)
+
+        dt = _timed(loop_enc, i_frames, p_frames) + _timed(loop_dec, payload)
         nb, npf = p_frames.shape[:2]
         return round(n_iters * nb * (npf + 1) / dt, 1)
 
