@@ -136,6 +136,37 @@ def test_sharded_production_intra_matches_unsharded(rng):
     np.testing.assert_array_equal(np.asarray(got_dec), np.asarray(want_dec))
 
 
+@pytest.mark.parametrize("qstep", [0, 24])
+def test_sharded_420_matches_unsharded(rng, qstep):
+    """4:2:0 on the mesh: luma tiles + chroma tiles with their own halved
+    halo, chroma riding mv//2 — fields and decode match the unsharded
+    pipeline420."""
+    from vcs_h264_tpu.models import pipeline420 as p420
+    cfg = CodecConfig(quant_mode="rounded", chroma_420=True,
+                      intra_i=bool(qstep), intra_qstep=qstep)
+    mesh = _mesh_or_skip(2, 2)
+    i_b, p_b = _gop_batch(rng, h=128, w=64)
+    want = p420.jit_encode_gop_batch_420(cfg)(i_b, p_b)
+    got = spatial.sharded_encode_gop_batch_420(i_b, p_b, cfg, mesh)
+    np.testing.assert_array_equal(np.asarray(got.i_y), np.asarray(want.i_y))
+    np.testing.assert_array_equal(np.asarray(got.i_c), np.asarray(want.i_c))
+    np.testing.assert_array_equal(np.asarray(got.mv), np.asarray(want.mv))
+    # float DCT across different partitionings: same per-block math, allow
+    # rare rounding-boundary flips of a single quantization level
+    for a, b in ((got.res_y, want.res_y), (got.res_c, want.res_c)):
+        d = np.abs(np.asarray(a, np.int32) - np.asarray(b, np.int32))
+        assert d.max() <= 1 and (d > 0).mean() < 1e-3
+    if qstep:
+        np.testing.assert_array_equal(np.asarray(got.iq_y),
+                                      np.asarray(want.iq_y))
+        np.testing.assert_array_equal(np.asarray(got.iq_c),
+                                      np.asarray(want.iq_c))
+    got_dec = spatial.sharded_decode_gop_batch_420(got, cfg, mesh)
+    want_dec = p420.decode_gop_batch_420(want, cfg)
+    d = np.abs(np.asarray(got_dec, np.int64) - np.asarray(want_dec, np.int64))
+    assert d.max() <= 2 and (d > 0).mean() < 0.01
+
+
 def test_gop_data_parallel_sharding(rng):
     """Plain NamedSharding DP over the gop axis compiles and matches."""
     cfg = CodecConfig(with_dct=False)

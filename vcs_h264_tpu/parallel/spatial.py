@@ -454,3 +454,169 @@ def sharded_encode_gop_batch(i_frames, p_frames, cfg: CodecConfig, mesh: Mesh):
 def sharded_decode_gop_batch(gop: EncodedGOP, cfg: CodecConfig, mesh: Mesh):
     h, w = gop.i_frame.shape[-2:]
     return make_sharded_decoder(mesh, cfg, h, w)(gop)
+
+
+# ---------------------------------------------------------------------------
+# Sharded 4:2:0 pipeline (models/pipeline420.py on the (gop x tile) mesh).
+# Luma rows shard over "tile" exactly like the full-res path; chroma planes
+# shard over the same axis at half the tile height, with their own (halved)
+# halo exchange, and ride the halved luma vectors. The optional lossy-intra
+# stage runs gop-parallel ahead of the shard (raster-sequential per frame).
+
+_Y_SPEC = P("gop", "tile", None)                       # [B, H, W]
+_C_SPEC = P("gop", None, "tile", None)                 # [B, 2, H/2, W/2]
+_YF_SPEC = P("gop", None, "tile", None)                # [B, F, H, W]
+_CF_SPEC = P("gop", None, None, "tile", None)          # [B, F, 2, H/2, W/2]
+
+
+@functools.lru_cache(maxsize=None)
+def make_sharded_encoder_420(mesh: Mesh, cfg: CodecConfig, h: int, w: int):
+    """fn(i_frames [B,3,H,W] BGR i32, p_frames [B,F,3,H,W]) -> EncodedGOP420
+    batch sharded over (gop, tile). Tile height must be a multiple of
+    2*block_size (half-res chroma DCT blocks) and >= halo."""
+    from vcs_h264_tpu.models import pipeline420 as p420
+
+    n_tile = mesh.shape["tile"]
+    th = h // n_tile
+    bs = cfg.block_size
+    halo = cfg.search_reach + bs
+    if th % (2 * bs) or (n_tile > 1 and th < halo):
+        raise ValueError(f"tile height {th} must be a multiple of {2 * bs} "
+                         f"and >= halo {halo}")
+    bs_c = bs // 2
+    halo_c = max(1, cfg.search_reach // 2) + bs_c
+    th_c = th // 2
+    plan = make_plan(h, w, bs, cfg.search_reach, cfg.search_step)
+    valid_i = jnp.asarray(plan.valid_i)
+    pos_i = jnp.asarray(plan.pos_i)
+    static_t = cfg.static_threshold // 3       # luma-only SAD (pipeline420)
+    scfg = CodecConfig(block_size=bs, search_reach=cfg.search_reach,
+                       search_step=cfg.search_step,
+                       static_threshold=static_t,
+                       quality_factor=cfg.quality_factor)
+    qy, qc = p420._tables(cfg)
+
+    def local_fn(y_t, c_t, yp_t, cp_t, valid_i_t, pos_i_t):
+        # y_t [Bl, th, W]; c_t [Bl, 2, th/2, W/2]; yp_t [Bl, F, th, W];
+        # cp_t [Bl, F, 2, th/2, W/2]
+        tile_idx = lax.axis_index("tile")
+        y_strip = _halo_exchange(y_t[:, None], halo, "tile")   # [Bl,1,th+2h,W]
+        c_strip = _halo_exchange(c_t, halo_c, "tile")
+
+        def per_gop(ys, cs, yp, cp):
+            mv = jax.vmap(lambda p: tile_motion_search(
+                p[None], ys, valid_i_t, pos_i_t, tile_idx, scfg, h, w, th)
+            )(yp)                                       # [F, nbh_t, nbw, 2]
+            rec_y = jax.vmap(lambda m: tile_motion_compensate(
+                m, ys, tile_idx, bs, th, halo))(mv)[:, 0]
+            mv_c = jnp.floor_divide(mv, 2)
+            rec_c = jax.vmap(lambda m: tile_motion_compensate(
+                m, cs, tile_idx, bs_c, th_c, halo_c))(mv_c)
+            res_y = p420._code_planes(yp - rec_y, qy, bs)
+            res_c = p420._code_planes(cp - rec_c, qc, bs)
+            return mv, res_y, res_c
+
+        mv, res_y, res_c = jax.vmap(per_gop)(y_strip, c_strip, yp_t, cp_t)
+        return {"y": y_t, "c": c_t, "mv": mv, "resy": res_y, "resc": res_c}
+
+    out_specs = {"y": _Y_SPEC, "c": _C_SPEC, "mv": _MV_SPEC,
+                 "resy": _YF_SPEC, "resc": _CF_SPEC}
+    fn = jax.shard_map(local_fn, mesh=mesh,
+                       in_specs=(_Y_SPEC, _C_SPEC, _YF_SPEC, _CF_SPEC,
+                                 _PLAN_SPEC, _PLAN_SPEC),
+                       out_specs=out_specs, check_vma=False)
+
+    @jax.jit
+    def run(i_frames, p_frames):
+        from jax.sharding import NamedSharding
+        y_i, c_i = p420.ingest_420(i_frames.astype(jnp.int32))
+        y_p, c_p = p420.ingest_420(p_frames.astype(jnp.int32))
+        payload = None
+        if cfg.intra_qstep:
+            from vcs_h264_tpu.models import intra_codec
+            rep = lambda x: lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P("gop")))
+            pay_y, rec_y = intra_codec.encode_intra_frames_lossy_batch(
+                rep(y_i)[:, None], cfg.intra_qstep)
+            pay_c, rec_c = intra_codec.encode_intra_frames_lossy_batch(
+                rep(c_i), cfg.intra_qstep)
+            y_i = lax.with_sharding_constraint(
+                rec_y[:, 0], NamedSharding(mesh, _Y_SPEC))
+            c_i = lax.with_sharding_constraint(
+                rec_c, NamedSharding(mesh, _C_SPEC))
+            payload = (pay_y, pay_c)
+        out = fn(y_i, c_i, y_p, c_p, valid_i, pos_i)
+        pay_y, pay_c = payload if payload else (None, None)
+        return p420.EncodedGOP420(
+            i_y=out["y"], i_c=out["c"], mv=out["mv"],
+            res_y=out["resy"], res_c=out["resc"],
+            iq_y=None if pay_y is None else pay_y.qcoef,
+            im_y=None if pay_y is None else pay_y.modes,
+            ie_y=None if pay_y is None else pay_y.escape,
+            iq_c=None if pay_c is None else pay_c.qcoef,
+            im_c=None if pay_c is None else pay_c.modes,
+            ie_c=None if pay_c is None else pay_c.escape)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def make_sharded_decoder_420(mesh: Mesh, cfg: CodecConfig, h: int, w: int):
+    """fn(EncodedGOP420 batch) -> BGR frames [B, gop_len, 3, H, W] i32."""
+    from vcs_h264_tpu.models import pipeline420 as p420
+
+    n_tile = mesh.shape["tile"]
+    th = h // n_tile
+    bs = cfg.block_size
+    halo = cfg.search_reach + bs
+    bs_c = bs // 2
+    halo_c = max(1, cfg.search_reach // 2) + bs_c
+    th_c = th // 2
+    qy, qc = p420._tables(cfg)
+
+    def local_fn(y_t, c_t, mv_t, resy_t, resc_t):
+        tile_idx = lax.axis_index("tile")
+        y_strip = _halo_exchange(y_t[:, None], halo, "tile")
+        c_strip = _halo_exchange(c_t, halo_c, "tile")
+
+        def per_gop(ys, cs, y_tile, c_tile, mv, res_y, res_c):
+            rec_y = jax.vmap(lambda m: tile_motion_compensate(
+                m, ys, tile_idx, bs, th, halo))(mv)[:, 0]
+            mv_c = jnp.floor_divide(mv, 2)
+            rec_c = jax.vmap(lambda m: tile_motion_compensate(
+                m, cs, tile_idx, bs_c, th_c, halo_c))(mv_c)
+            rec_y = jnp.clip(rec_y + p420._decode_planes(res_y, qy, bs),
+                             0, 255)
+            rec_c = jnp.clip(rec_c + p420._decode_planes(res_c, qc, bs),
+                             0, 255)
+            y = jnp.concatenate([y_tile[None], rec_y], axis=0)
+            c = jnp.concatenate([c_tile[None], rec_c], axis=0)
+            return y, c
+
+        y, c = jax.vmap(per_gop)(y_strip, c_strip, y_t, c_t,
+                                 mv_t, resy_t, resc_t)
+        return y, c                                   # [Bl,1+F,th,W], chroma
+
+    fn = jax.shard_map(local_fn, mesh=mesh,
+                       in_specs=(_Y_SPEC, _C_SPEC, _MV_SPEC,
+                                 _YF_SPEC, _CF_SPEC),
+                       out_specs=(_YF_SPEC, _CF_SPEC), check_vma=False)
+
+    @jax.jit
+    def run(gop):
+        y, c = fn(gop.i_y.astype(jnp.int32), gop.i_c.astype(jnp.int32),
+                  gop.mv, gop.res_y, gop.res_c)
+        return p420.emit_bgr(y, c)
+
+    return run
+
+
+def sharded_encode_gop_batch_420(i_frames, p_frames, cfg: CodecConfig,
+                                 mesh: Mesh):
+    h, w = i_frames.shape[-2:]
+    return make_sharded_encoder_420(mesh, cfg, h, w)(i_frames, p_frames)
+
+
+def sharded_decode_gop_batch_420(gop, cfg: CodecConfig, mesh: Mesh):
+    h, w = gop.i_y.shape[-2:]
+    return make_sharded_decoder_420(mesh, cfg, h, w)(gop)
