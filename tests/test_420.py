@@ -79,10 +79,12 @@ def test_npz_roundtrip_420(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
-@pytest.mark.parametrize("qstep", [0, 24])
-def test_vcs_roundtrip_420(tmp_path, qstep):
+@pytest.mark.parametrize("intra_i,qstep", [(False, 0), (True, 0), (True, 24)])
+def test_vcs_roundtrip_420(tmp_path, intra_i, qstep):
+    """All three I-section types: raw planes, lossless intra (itype 1),
+    lossy intra payload (itype 2)."""
     frames = _frames()
-    cfg = _cfg(intra_i=bool(qstep), intra_qstep=qstep)
+    cfg = _cfg(intra_i=intra_i, intra_qstep=qstep)
     video = Encoder(cfg, gop_batch=2).encode_frames(frames)
     from vcs_h264_tpu.io.bitstream import save_vcs, load_vcs
     path = str(tmp_path / "s.vcs")
