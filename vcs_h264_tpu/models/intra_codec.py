@@ -77,8 +77,20 @@ def encode_intra_frames_lossy_batch(planes: jnp.ndarray, qstep: int):
 
 @functools.partial(jax.jit, static_argnames=("qstep",))
 def decode_intra_frames_lossy_batch(frame: IntraFrameLossy, qstep: int):
-    """Batched: IntraFrameLossy with leading B -> recon [B, C, H, W]."""
-    return jax.vmap(lambda f: decode_intra_frame_lossy(f, qstep))(frame)
+    """Batched: IntraFrameLossy with leading B -> recon [B, C, H, W].
+
+    The (B, C) axes are flattened into ONE vmap: certain nested-vmap shapes
+    of the wavefront decode scan (e.g. 16x3) SIGSEGV this environment's TPU
+    AOT compile helper, while the flat single-vmap form compiles (and runs
+    sub-ms for 48 planes at 640x360)."""
+    q = frame.qcoef.astype(jnp.int32)
+    b, c = q.shape[:2]
+    flat = jax.vmap(
+        lambda qq, m, e: intra.intra_decode4x4_lossy(qq, m, e, qstep))(
+        q.reshape(b * c, *q.shape[2:]),
+        frame.modes.astype(jnp.int32).reshape(b * c, *frame.modes.shape[2:]),
+        frame.escape.reshape(b * c, *frame.escape.shape[2:]))
+    return flat.reshape(b, c, *flat.shape[1:])
 
 
 @functools.partial(jax.jit, static_argnames=("qstep",))

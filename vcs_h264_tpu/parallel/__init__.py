@@ -12,6 +12,11 @@ Python. The TPU build exposes the two sharding axes identified there:
 """
 
 from vcs_h264_tpu.parallel.mesh import make_mesh, gop_sharding
-from vcs_h264_tpu.parallel.spatial import sharded_encode_gop_batch
+from vcs_h264_tpu.parallel.spatial import (sharded_decode_gop_batch,
+                                           sharded_decode_gop_batch_420,
+                                           sharded_encode_gop_batch,
+                                           sharded_encode_gop_batch_420)
 
-__all__ = ["make_mesh", "gop_sharding", "sharded_encode_gop_batch"]
+__all__ = ["make_mesh", "gop_sharding",
+           "sharded_encode_gop_batch", "sharded_decode_gop_batch",
+           "sharded_encode_gop_batch_420", "sharded_decode_gop_batch_420"]
