@@ -36,8 +36,8 @@ def test_config_validation():
         CodecConfig(chroma_420=True)                 # reference quant mode
     with pytest.raises(ValueError):
         CodecConfig(chroma_420=True, quant_mode="rounded", with_dct=False)
-    with pytest.raises(ValueError):
-        CodecConfig.bframes(chroma_420=True, quant_mode="rounded")
+    # B patterns are supported in 4:2:0
+    assert CodecConfig.bframes(chroma_420=True, quant_mode="rounded").has_b
 
 
 def test_ingest_emit_roundtrip_matches_study():
@@ -182,3 +182,47 @@ def test_chroma_rides_halved_vectors():
     err = np.abs(out[:, 16:-16, 16:-16]
                  - np.asarray(p_b)[0, 0][:, 16:-16, 16:-16])
     assert float(np.sqrt((err.astype(np.float64) ** 2).mean())) < 6.0
+
+
+@pytest.mark.parametrize("qstep", [0, 24])
+def test_420_bframes_roundtrip(tmp_path, qstep):
+    """B frames in 4:2:0: luma-SAD mode decision, chroma riding halved B
+    vectors, closed-loop anchors; containers round-trip the B payload."""
+    got = load_test_frames(
+        "/root/reference/videos/slow_traffic_small.mp4", 14)
+    if len(got) < 14:
+        pytest.skip("video unavailable")
+    frames = [f[:96, :128] for f in got]        # 2 full IBPBPBP GOPs
+    cfg = _cfg(gop_pattern=("I", "B", "P", "B", "P", "B", "P"),
+               intra_i=bool(qstep), intra_qstep=qstep)
+    video = Encoder(cfg, gop_batch=2).encode_frames(frames)
+    assert video.gops[0].b_mv is not None
+    dec = Decoder().decode(video)
+    assert len(dec) == len(frames)
+    ps = [psnr(f, d) for f, d in zip(frames, dec)]
+    assert float(np.mean(ps)) > 32.0, ps
+    # npz + vcs roundtrips preserve the B payload and decode identically
+    p_npz = str(tmp_path / "b.npz")
+    video.save_npz(p_npz)
+    got = Decoder().decode(EncodedVideo.load_npz(p_npz))
+    for a, b in zip(got, dec):
+        np.testing.assert_array_equal(a, b)
+    from vcs_h264_tpu.io.bitstream import save_vcs, load_vcs
+    p_vcs = str(tmp_path / "b.vcs")
+    save_vcs(video, p_vcs)
+    loaded = load_vcs(p_vcs)
+    assert loaded.gops[0].b_mv is not None
+    got = Decoder().decode(loaded)
+    for a, b in zip(got, dec):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_420_rejects_bframes():
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("not enough devices")
+    from vcs_h264_tpu.parallel import mesh as pmesh, spatial
+    cfg = _cfg(gop_pattern=("I", "B", "P"))
+    m = pmesh.make_mesh(gop=1, tile=2)
+    with pytest.raises(NotImplementedError):
+        spatial.make_sharded_encoder_420(m, cfg, 128, 64)

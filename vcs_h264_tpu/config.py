@@ -96,9 +96,6 @@ class CodecConfig:
                     "chroma_420 requires the production path (quant_mode="
                     "'rounded', with_dct, with_residual): wrap-residual "
                     "semantics are a full-res reference-parity feature")
-            if self.has_b:
-                raise ValueError("chroma_420 with B-frame patterns is not "
-                                 "yet supported")
 
     @property
     def gop_len(self) -> int:

@@ -34,8 +34,9 @@ _MAGIC = b"VCSH264T"
 # v4 added per-GOP B-frame sections; v5 adds intra_qstep in the header and a
 # per-GOP I-frame type byte (raw / lossless intra / lossy intra); v6 adds the
 # 4:2:0 stream layout (header mode bit 8; per-GOP Y + quarter-res chroma
-# sections). Older versions still load.
-_VERSION = 6
+# sections); v7 adds B-frame sections to the 4:2:0 layout. Older versions
+# still load.
+_VERSION = 7
 
 # ---------------------------------------------------------------------------
 # native library loading (with build-on-demand) + python fallback
@@ -273,17 +274,31 @@ def _save_vcs_420(video: EncodedVideo, fh) -> None:
         mv_blob = rle_encode(np.asarray(gop.mv, np.int16).ravel())
         fh.write(struct.pack("<Q", len(mv_blob)))
         fh.write(mv_blob)
-        for res in (gop.res_y, gop.res_c):
+
+        def put_res(res):
             if res is None:
                 fh.write(struct.pack("<Q", 0))
-                continue
-            blob = rle_encode(_zigzag_plane(
-                np.asarray(res, np.int16), bs))
+                return
+            blob = rle_encode(_zigzag_plane(np.asarray(res, np.int16), bs))
             fh.write(struct.pack("<Q", len(blob)))
             fh.write(blob)
 
+        put_res(gop.res_y)
+        put_res(gop.res_c)
+        # ---- B section (v7) ----------------------------------------------
+        n_b = 0 if gop.b_mv is None else gop.b_mv.shape[0]
+        fh.write(struct.pack("<I", n_b))
+        if n_b:
+            bmv_blob = rle_encode(np.asarray(gop.b_mv, np.int16).ravel())
+            mode_b = np.asarray(gop.b_mode, np.int8).tobytes()
+            fh.write(struct.pack("<QQ", len(bmv_blob), len(mode_b)))
+            fh.write(bmv_blob); fh.write(mode_b)
+            put_res(gop.bres_y)
+            put_res(gop.bres_c)
 
-def _load_vcs_420(fh, cfg: CodecConfig, n_gops: int, bs: int):
+
+def _load_vcs_420(fh, cfg: CodecConfig, n_gops: int, bs: int,
+                  version: int = _VERSION):
     from vcs_h264_tpu.models.pipeline420 import (EncodedGOP420,
                                                  decode_intra_420)
     from vcs_h264_tpu.models.intra_codec import (IntraFrame,
@@ -325,18 +340,32 @@ def _load_vcs_420(fh, cfg: CodecConfig, n_gops: int, bs: int):
         nbh, nbw = h // bs, w // bs
         mv = rle_decode(fh.read(mv_len), n_p * nbh * nbw * 2)
         mv = mv.reshape(n_p, nbh, nbw, 2).astype(np.int32)
-        res = []
-        for shape in ((n_p, h, w), (n_p, 2, hc, wc)):
+        def get_res(shape):
             (blob_len,) = struct.unpack("<Q", fh.read(8))
             if blob_len == 0:
-                res.append(None)
-                continue
+                return None
             flat = rle_decode(fh.read(blob_len), int(np.prod(shape)))
-            res.append(_unzigzag_plane(flat, shape, bs).astype(np.int16))
+            return _unzigzag_plane(flat, shape, bs).astype(np.int16)
+
+        res_y = get_res((n_p, h, w))
+        res_c = get_res((n_p, 2, hc, wc))
+        b_mv = b_mode = bres_y = bres_c = None
+        if version >= 7:
+            (n_b,) = struct.unpack("<I", fh.read(4))
+            if n_b:
+                bl, ml = struct.unpack("<QQ", fh.read(16))
+                b_mv = rle_decode(fh.read(bl), n_b * 2 * nbh * nbw * 2)
+                b_mv = b_mv.reshape(n_b, 2, nbh, nbw, 2).astype(np.int32)
+                b_mode = np.frombuffer(fh.read(ml), np.int8)
+                b_mode = b_mode.reshape(n_b, nbh, nbw)
+                bres_y = get_res((n_b, h, w))
+                bres_c = get_res((n_b, 2, hc, wc))
         gop = EncodedGOP420(i_y=i_y, i_c=i_c, mv=mv,
-                            res_y=res[0], res_c=res[1],
+                            res_y=res_y, res_c=res_c,
                             iq_y=iq, im_y=im, ie_y=ie,
-                            iq_c=iqc, im_c=imc, ie_c=iec)
+                            iq_c=iqc, im_c=imc, ie_c=iec,
+                            b_mv=b_mv, b_mode=b_mode,
+                            bres_y=bres_y, bres_c=bres_c)
         if itype == 2:
             gop = decode_intra_420(gop, cfg.intra_qstep)
         gops.append(gop)
@@ -464,7 +493,7 @@ def load_vcs(path: str) -> EncodedVideo:
             raise ValueError("not a .vcs file")
         (version, h, w, fps, num_frames, bs, qf, n_gops,
          mode) = struct.unpack("<IIIdIIdII", fh.read(44))
-        if version not in (3, 4, 5, _VERSION):
+        if version not in (3, 4, 5, 6, _VERSION):
             raise ValueError(f"unsupported version {version}")
         if not (1 <= h <= 16384 and 1 <= w <= 16384):
             raise ValueError(f".vcs: implausible dimensions {h}x{w}")
@@ -492,7 +521,7 @@ def load_vcs(path: str) -> EncodedVideo:
             return EncodedVideo(
                 config=cfg, height=h, width=w, fps=fps,
                 num_frames=num_frames,
-                gops=_load_vcs_420(fh, cfg, n_gops, bs))
+                gops=_load_vcs_420(fh, cfg, n_gops, bs, version))
         gops = []
         for _ in range(n_gops):
             c, ih, iw = struct.unpack("<III", fh.read(12))

@@ -84,6 +84,12 @@ def _save_gop_npz_420(path: str, gop, fingerprint: str = "") -> None:
     if gop.res_y is not None:
         arrays["resy"] = np.asarray(gop.res_y, np.int16)
         arrays["resc"] = np.asarray(gop.res_c, np.int16)
+    if gop.b_mv is not None:
+        arrays["bmv"] = np.asarray(gop.b_mv, np.int16)
+        arrays["bmode"] = np.asarray(gop.b_mode, np.int8)
+        if gop.bres_y is not None:
+            arrays["bresy"] = np.asarray(gop.bres_y, np.int16)
+            arrays["bresc"] = np.asarray(gop.bres_c, np.int16)
     if gop.iq_y is not None:
         arrays.update(iqy=np.asarray(gop.iq_y, np.int16),
                       imy=np.asarray(gop.im_y, np.int8),
@@ -101,6 +107,7 @@ def _load_gop_npz_420(path: str, fingerprint: str = ""):
     if fingerprint and stored != fingerprint:
         return None
     iqy = data["iqy"] if "iqy" in data else None
+    bmv = data["bmv"] if "bmv" in data else None
     return EncodedGOP420(
         i_y=data["y"].astype(np.int32), i_c=data["c"].astype(np.int32),
         mv=data["mv"].astype(np.int32),
@@ -111,7 +118,11 @@ def _load_gop_npz_420(path: str, fingerprint: str = ""):
         ie_y=data["iey"] if iqy is not None else None,
         iq_c=data["iqc"] if iqy is not None else None,
         im_c=data["imc"] if iqy is not None else None,
-        ie_c=data["iec"] if iqy is not None else None)
+        ie_c=data["iec"] if iqy is not None else None,
+        b_mv=None if bmv is None else bmv.astype(np.int32),
+        b_mode=data["bmode"].astype(np.int8) if bmv is not None else None,
+        bres_y=data["bresy"] if "bresy" in data else None,
+        bres_c=data["bresc"] if "bresc" in data else None)
 
 
 def _load_gop_npz(path: str, fingerprint: str = "") -> Optional[EncodedGOP]:

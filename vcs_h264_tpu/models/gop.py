@@ -153,6 +153,12 @@ class EncodedVideo:
             if gop.res_y is not None:
                 arrays[f"gop{g}_resy"] = np.asarray(gop.res_y, np.int16)
                 arrays[f"gop{g}_resc"] = np.asarray(gop.res_c, np.int16)
+            if gop.b_mv is not None:
+                arrays[f"gop{g}_bmv"] = np.asarray(gop.b_mv, np.int16)
+                arrays[f"gop{g}_bmode"] = np.asarray(gop.b_mode, np.int8)
+                if gop.bres_y is not None:
+                    arrays[f"gop{g}_bresy"] = np.asarray(gop.bres_y, np.int16)
+                    arrays[f"gop{g}_bresc"] = np.asarray(gop.bres_c, np.int16)
             if gop.iq_y is not None:
                 for k, v, dt in (("iqy", gop.iq_y, np.int16),
                                  ("imy", gop.im_y, np.int8),
@@ -171,6 +177,7 @@ class EncodedVideo:
         for g in range(int(meta["num_gops"])):
             resy = data.get(f"gop{g}_resy")
             iqy = data.get(f"gop{g}_iqy")
+            bmv = data.get(f"gop{g}_bmv")
             gops.append(EncodedGOP420(
                 i_y=data[f"gop{g}_y"].astype(np.int32),
                 i_c=data[f"gop{g}_c"].astype(np.int32),
@@ -182,7 +189,12 @@ class EncodedVideo:
                 ie_y=data.get(f"gop{g}_iey") if iqy is not None else None,
                 iq_c=data.get(f"gop{g}_iqc") if iqy is not None else None,
                 im_c=data.get(f"gop{g}_imc") if iqy is not None else None,
-                ie_c=data.get(f"gop{g}_iec") if iqy is not None else None))
+                ie_c=data.get(f"gop{g}_iec") if iqy is not None else None,
+                b_mv=None if bmv is None else bmv.astype(np.int32),
+                b_mode=(data[f"gop{g}_bmode"].astype(np.int8)
+                        if bmv is not None else None),
+                bres_y=data.get(f"gop{g}_bresy"),
+                bres_c=data.get(f"gop{g}_bresc")))
         return cls(cfg, int(meta["height"]), int(meta["width"]),
                    float(meta["fps"]), int(meta["num_frames"]), gops)
 

@@ -61,11 +61,18 @@ class EncodedGOP420:
     iq_c: Optional[jax.Array] = None     # [2, H/2, W/2] int16
     im_c: Optional[jax.Array] = None     # [2, H/8, W/8] int8
     ie_c: Optional[jax.Array] = None     # [2, H/8, W/8] bool
+    # B-frame fields (None unless the GOP pattern has B frames); mode is the
+    # per-block fwd/bwd/bi decision made on luma SAD
+    b_mv: Optional[jax.Array] = None     # [NB, 2, nbh, nbw, 2] int32
+    b_mode: Optional[jax.Array] = None   # [NB, nbh, nbw] int8
+    bres_y: Optional[jax.Array] = None   # [NB, H, W] int16
+    bres_c: Optional[jax.Array] = None   # [NB, 2, H/2, W/2] int16
 
     def tree_flatten(self):
         return (self.i_y, self.i_c, self.mv, self.res_y, self.res_c,
                 self.iq_y, self.im_y, self.ie_y,
-                self.iq_c, self.im_c, self.ie_c), None
+                self.iq_c, self.im_c, self.ie_c,
+                self.b_mv, self.b_mode, self.bres_y, self.bres_c), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -76,8 +83,12 @@ class EncodedGOP420:
         return self.mv.shape[0]
 
     @property
+    def num_b(self) -> int:
+        return 0 if self.b_mv is None else self.b_mv.shape[0]
+
+    @property
     def num_coded(self) -> int:
-        return 1 + self.num_p
+        return 1 + self.num_p + self.num_b
 
 
 def ingest_420(bgr_planes: jnp.ndarray):
@@ -132,14 +143,41 @@ def _compensate(mv, refs, bs, reach):
                                          backend=backend)
 
 
+def _search(y_cur, y_ref, cfg: CodecConfig):
+    """Luma-only search; the reference's static threshold (motion.py:8) is
+    calibrated for 3-channel SAD — scale to the single-plane SAD."""
+    return motion.motion_search_gops(
+        y_cur[:, :, None], y_ref[:, None], bs=cfg.block_size,
+        reach=cfg.search_reach, step=cfg.search_step,
+        static_threshold=cfg.static_threshold // 3)
+
+
+def _predict(mv, y_ref, c_ref, cfg: CodecConfig):
+    """(luma mv, reference planes) -> (pred_y [B, F, H, W], pred_c)."""
+    bs = cfg.block_size
+    pred_y = _compensate(mv, y_ref[:, None], bs, cfg.search_reach)[:, :, 0]
+    pred_c = _compensate(_chroma_mv(mv), c_ref, bs // 2,
+                         max(1, cfg.search_reach // 2))
+    return pred_y, pred_c
+
+
 def encode_gop_batch_420(i_frames: jnp.ndarray, p_frames: jnp.ndarray,
                          cfg: CodecConfig) -> EncodedGOP420:
-    """i_frames BGR planar [B, 3, H, W]; p_frames [B, F, 3, H, W] ->
-    EncodedGOP420 batch. H, W must be multiples of 2*block_size."""
+    """i_frames BGR planar [B, 3, H, W]; p_frames: ALL non-I frames of the
+    GOP in display order [B, F, 3, H, W] -> EncodedGOP420 batch. H, W must
+    be multiples of 2*block_size. B-bearing patterns predict B frames from
+    decoded anchors (closed loop) with a luma-SAD fwd/bwd/bi mode decision;
+    chroma rides the halved B vectors."""
+    from vcs_h264_tpu.models.pipeline import gop_layout
     bs = cfg.block_size
     qy, qc = _tables(cfg)
     y_i, c_i = ingest_420(i_frames)                      # [B,H,W], [B,2,h,w]
     y_p, c_p = ingest_420(p_frames)                      # [B,F,H,W], [B,F,2..]
+    use_b = cfg.has_b and p_frames.shape[1] == cfg.gop_len - 1
+    if use_b:
+        _, _, prev_slot, next_slot, p_sel, b_sel = gop_layout(cfg.gop_pattern)
+        y_b, c_b = y_p[:, np.array(b_sel)], c_p[:, np.array(b_sel)]
+        y_p, c_p = y_p[:, np.array(p_sel)], c_p[:, np.array(p_sel)]
 
     iq = im = ie = iqc = imc = iec = None
     if cfg.intra_qstep:
@@ -152,21 +190,59 @@ def encode_gop_batch_420(i_frames: jnp.ndarray, p_frames: jnp.ndarray,
         iq, im, ie = pay_y.qcoef, pay_y.modes, pay_y.escape
         iqc, imc, iec = pay_c.qcoef, pay_c.modes, pay_c.escape
 
-    # luma-only search: the reference's static threshold (motion.py:8) is
-    # calibrated for 3-channel SAD; scale it to the single-plane SAD
-    mv = motion.motion_search_gops(
-        y_p[:, :, None], y_i[:, None], bs=bs, reach=cfg.search_reach,
-        step=cfg.search_step, static_threshold=cfg.static_threshold // 3)
+    mv = _search(y_p, y_i, cfg)
     res_y = res_c = None
+    pred_y, pred_c = _predict(mv, y_i, c_i, cfg)
     if cfg.with_residual:
-        rec_y = _compensate(mv, y_i[:, None], bs, cfg.search_reach)[:, :, 0]
-        rec_c = _compensate(_chroma_mv(mv), c_i, bs // 2,
-                            max(1, cfg.search_reach // 2))
-        res_y = _code_planes(y_p - rec_y, qy, bs)
-        res_c = _code_planes(c_p - rec_c, qc, bs)
-    return EncodedGOP420(i_y=y_i, i_c=c_i, mv=mv, res_y=res_y, res_c=res_c,
-                         iq_y=iq, im_y=im, ie_y=ie,
-                         iq_c=iqc, im_c=imc, ie_c=iec)
+        res_y = _code_planes(y_p - pred_y, qy, bs)
+        res_c = _code_planes(c_p - pred_c, qc, bs)
+    gop = EncodedGOP420(i_y=y_i, i_c=c_i, mv=mv, res_y=res_y, res_c=res_c,
+                        iq_y=iq, im_y=im, ie_y=ie,
+                        iq_c=iqc, im_c=imc, ie_c=iec)
+    if not use_b:
+        return gop
+
+    # closed loop: decoded anchors
+    dec_y, dec_c = pred_y, pred_c
+    if cfg.with_residual:
+        dec_y = jnp.clip(pred_y + _decode_planes(res_y, qy, bs), 0, 255)
+        dec_c = jnp.clip(pred_c + _decode_planes(res_c, qc, bs), 0, 255)
+    anch_y = jnp.concatenate([y_i[:, None], dec_y], axis=1)  # [B, NA, H, W]
+    anch_c = jnp.concatenate([c_i[:, None], dec_c], axis=1)
+    bb, nb = y_b.shape[:2]
+    flat = lambda x: x.reshape(bb * nb, *x.shape[2:])
+    prev_y = flat(anch_y[:, np.array(prev_slot)])
+    next_y = flat(anch_y[:, np.array(next_slot)])
+    prev_c = flat(anch_c[:, np.array(prev_slot)])
+    next_c = flat(anch_c[:, np.array(next_slot)])
+    yb_f, cb_f = flat(y_b), flat(c_b)
+    mv_f = _search(yb_f[:, None], prev_y, cfg)[:, 0]     # [B*NB, nbh, nbw, 2]
+    mv_b = _search(yb_f[:, None], next_y, cfg)[:, 0]
+    pf_y, pf_c = _predict(mv_f[:, None], prev_y, prev_c, cfg)
+    pb_y, pb_c = _predict(mv_b[:, None], next_y, next_c, cfg)
+    pf_y, pf_c, pb_y, pb_c = pf_y[:, 0], pf_c[:, 0], pb_y[:, 0], pb_c[:, 0]
+    # per-block mode decision on luma SAD (first-minimum: fwd, bwd, bi)
+    from vcs_h264_tpu.ops.motion import _tile_sums
+    bi_y = (pf_y + pb_y + 1) >> 1
+    sads = jnp.stack([_tile_sums(jnp.abs(p - yb_f)[:, None], bs)
+                      for p in (pf_y, pb_y, bi_y)])      # [3, B*NB, nbh, nbw]
+    mode = jnp.argmin(sads, axis=0).astype(jnp.int8)
+    mpy = jnp.repeat(jnp.repeat(mode, bs, -2), bs, -1).astype(jnp.int32)
+    pred_by = jnp.where(mpy == 0, pf_y, jnp.where(mpy == 1, pb_y, bi_y))
+    bs_c = bs // 2
+    mpc = jnp.repeat(jnp.repeat(mode, bs_c, -2), bs_c, -1)[:, None]
+    mpc = mpc.astype(jnp.int32)
+    bi_c = (pf_c + pb_c + 1) >> 1
+    pred_bc = jnp.where(mpc == 0, pf_c, jnp.where(mpc == 1, pb_c, bi_c))
+    bres_y = bres_c = None
+    if cfg.with_residual:
+        bres_y = _code_planes(yb_f - pred_by, qy, bs)
+        bres_c = _code_planes(cb_f - pred_bc, qc, bs)
+    unflat = lambda x: None if x is None else x.reshape(bb, nb, *x.shape[1:])
+    b_mv = jnp.stack([mv_f, mv_b], axis=1)               # [B*NB, 2, nbh, nbw, 2]
+    return dataclasses.replace(
+        gop, b_mv=unflat(b_mv), b_mode=unflat(mode),
+        bres_y=unflat(bres_y), bres_c=unflat(bres_c))
 
 
 def decode_gop_batch_420(gop: EncodedGOP420, cfg: CodecConfig,
@@ -177,14 +253,46 @@ def decode_gop_batch_420(gop: EncodedGOP420, cfg: CodecConfig,
     qy, qc = _tables(cfg)
     y_i = gop.i_y.astype(jnp.int32)
     c_i = gop.i_c.astype(jnp.int32)
-    rec_y = _compensate(gop.mv, y_i[:, None], bs, cfg.search_reach)[:, :, 0]
-    rec_c = _compensate(_chroma_mv(gop.mv), c_i, bs // 2,
-                        max(1, cfg.search_reach // 2))
+    rec_y, rec_c = _predict(gop.mv, y_i, c_i, cfg)
     if cfg.with_residual and gop.res_y is not None:
         rec_y = jnp.clip(rec_y + _decode_planes(gop.res_y, qy, bs), 0, 255)
         rec_c = jnp.clip(rec_c + _decode_planes(gop.res_c, qc, bs), 0, 255)
-    y = jnp.concatenate([y_i[:, None], rec_y], axis=1)   # [B, 1+F, H, W]
-    c = jnp.concatenate([c_i[:, None], rec_c], axis=1)   # [B, 1+F, 2, h, w]
+    y = jnp.concatenate([y_i[:, None], rec_y], axis=1)   # [B, 1+NA-1, H, W]
+    c = jnp.concatenate([c_i[:, None], rec_c], axis=1)
+    if gop.b_mv is not None:
+        from vcs_h264_tpu.models.pipeline import gop_layout
+        anchor_pos, b_pos, prev_slot, next_slot, _, _ = \
+            gop_layout(cfg.gop_pattern)
+        bb, nb = gop.b_mv.shape[:2]
+        flat = lambda x: x.reshape(bb * nb, *x.shape[2:])
+        prev_y, next_y = (flat(y[:, np.array(s)])
+                          for s in (prev_slot, next_slot))
+        prev_c, next_c = (flat(c[:, np.array(s)])
+                          for s in (prev_slot, next_slot))
+        bmv = flat(gop.b_mv)
+        pf_y, pf_c = _predict(bmv[:, 0][:, None], prev_y, prev_c, cfg)
+        pb_y, pb_c = _predict(bmv[:, 1][:, None], next_y, next_c, cfg)
+        pf_y, pf_c, pb_y, pb_c = (x[:, 0] for x in (pf_y, pf_c, pb_y, pb_c))
+        mode = flat(gop.b_mode)
+        mpy = jnp.repeat(jnp.repeat(mode, bs, -2), bs, -1).astype(jnp.int32)
+        by = jnp.where(mpy == 0, pf_y,
+                       jnp.where(mpy == 1, pb_y, (pf_y + pb_y + 1) >> 1))
+        bs_c = bs // 2
+        mpc = jnp.repeat(jnp.repeat(mode, bs_c, -2), bs_c, -1)
+        mpc = mpc[:, None].astype(jnp.int32)
+        bc = jnp.where(mpc == 0, pf_c,
+                       jnp.where(mpc == 1, pb_c, (pf_c + pb_c + 1) >> 1))
+        if cfg.with_residual and gop.bres_y is not None:
+            by = jnp.clip(by + _decode_planes(flat(gop.bres_y), qy, bs),
+                          0, 255)
+            bc = jnp.clip(bc + _decode_planes(flat(gop.bres_c), qc, bs),
+                          0, 255)
+        by = by.reshape(bb, nb, *by.shape[1:])
+        bc = bc.reshape(bb, nb, *bc.shape[1:])
+        yo = jnp.zeros((bb, cfg.gop_len, *y.shape[2:]), jnp.int32)
+        co = jnp.zeros((bb, cfg.gop_len, *c.shape[2:]), jnp.int32)
+        y = yo.at[:, np.array(anchor_pos)].set(y).at[:, np.array(b_pos)].set(by)
+        c = co.at[:, np.array(anchor_pos)].set(c).at[:, np.array(b_pos)].set(bc)
     if not as_bgr:
         return y, c
     return emit_bgr(y, c)

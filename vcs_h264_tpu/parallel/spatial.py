@@ -483,6 +483,11 @@ def make_sharded_encoder_420(mesh: Mesh, cfg: CodecConfig, h: int, w: int):
     if th % (2 * bs) or (n_tile > 1 and th < halo):
         raise ValueError(f"tile height {th} must be a multiple of {2 * bs} "
                          f"and >= halo {halo}")
+    if cfg.has_b:
+        raise NotImplementedError(
+            "sharded 4:2:0 does not implement B-frame patterns yet — use "
+            "the unsharded pipeline420 (which does), or an all-P pattern; "
+            "refusing rather than silently coding all-P")
     bs_c = bs // 2
     halo_c = max(1, cfg.search_reach // 2) + bs_c
     th_c = th // 2
