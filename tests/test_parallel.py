@@ -113,6 +113,23 @@ def test_sharded_bframes_matches_unsharded(rng, with_dct):
         assert d.max() <= 2 and (d > 0).mean() < 0.05
 
 
+def test_sharded_bframes_no_residual_matches_unsharded(rng):
+    """B pattern with with_residual=False: MV/mode fields still match and
+    decode (pure compensation) is bit-exact."""
+    cfg = CodecConfig.bframes(with_residual=False, with_dct=False)
+    mesh = _mesh_or_skip(2, 2)
+    i_b, p_b = _gop_batch(rng, p=cfg.gop_len - 1)
+    want = pipeline.jit_encode_gop_batch(cfg)(i_b, p_b)
+    got = spatial.sharded_encode_gop_batch(i_b, p_b, cfg, mesh)
+    np.testing.assert_array_equal(np.asarray(got.mv), np.asarray(want.mv))
+    np.testing.assert_array_equal(np.asarray(got.b_mv), np.asarray(want.b_mv))
+    np.testing.assert_array_equal(np.asarray(got.b_mode),
+                                  np.asarray(want.b_mode))
+    got_dec = spatial.sharded_decode_gop_batch(got, cfg, mesh)
+    want_dec = pipeline.jit_decode_gop_batch(cfg)(want)
+    np.testing.assert_array_equal(np.asarray(got_dec), np.asarray(want_dec))
+
+
 def test_sharded_production_intra_matches_unsharded(rng):
     """production() (rounded quant + lossy intra I) on the mesh: the intra
     payload is produced gop-parallel, P frames reference the lossy recon,
