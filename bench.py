@@ -47,7 +47,11 @@ VIDEO = "/root/reference/videos/slow_traffic_small.mp4"
 BASE = os.path.join(_DIR, "BASELINE_MEASURED.json")
 N_FRAMES = 64          # frames resident on device (16 GOPs)
 N_ITERS = 8            # fused-loop iterations (headline)
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "300"))
+# Extras are attempted as long as budget remains; the external timeout is the
+# real bound (lines print progressively, so a kill mid-extra still leaves the
+# last complete line for the driver). The known 5-10 min pre-device tunnel
+# stall must not self-censor the extras — hence the generous default.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "900"))
 QSTEP = 24             # production lossy-intra step
 
 

@@ -8,14 +8,24 @@ ops/motion_pallas.py).
 Run: python tools/check_pallas_tpu.py
 """
 
+import os
+import sys
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from vcs_h264_tpu.ops import motion as M
 
 
 def main():
+    import os
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     assert jax.default_backend() == "tpu", jax.default_backend()
     rng = np.random.default_rng(7)
     for (b, f, h, w) in [(1, 1, 64, 64), (2, 3, 360, 640)]:

@@ -22,8 +22,13 @@ N_ITERS = 16
 
 
 def main():
+    import os
     import cv2
     import jax
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
     from jax import lax
     from vcs_h264_tpu.config import CodecConfig

@@ -336,7 +336,6 @@ def main(argv=None):
     p.add_argument("--checkpoint-dir", default=None,
                    help="per-GOP checkpoint/resume dir (shared across "
                         "processes in distributed mode)")
-    p.add_argument("--platform", choices=["default", "cpu"], default="default")
     _add_codec_args(p); p.set_defaults(fn=cmd_encode)
 
     p = sub.add_parser("decode", help="decode .npz bitstream -> video")
@@ -367,7 +366,13 @@ def main(argv=None):
     p.add_argument("--plot", default=None, help="side-by-side comparison PNG")
     p.set_defaults(fn=cmd_chroma_study)
 
+    for sp in sub.choices.values():
+        sp.add_argument("--platform", choices=["default", "cpu"],
+                        default="default",
+                        help="cpu forces the CPU backend (no TPU contact)")
+
     args = ap.parse_args(argv)
+    _apply_platform(args)
     args.fn(args)
 
 
