@@ -11,12 +11,13 @@ from HBM for each of the ~121 candidate displacements (~9-30 ms/frame at
     block computed from the scalar-prefetched i_min), so every load is
     tile-aligned and the kernel body does NO dynamic slicing;
   * all F frames that share this reference are processed in one program
-    (the GOP's P-frames): the per-candidate work is a [F, C, bs, W] wrap
-    difference reduced over channels+rows, written as one aligned [F, W]
-    slab per kj;
-  * one MXU matmul [K*F, W] @ [W, nbw] finishes the 8-column box sums —
-    at HIGHEST precision: the default single-pass bf16 mantissa cannot
-    represent row sums (<= 6120), which silently corrupts SADs.
+    (the GOP's P-frames): the per-candidate VPU work is ONE compare per
+    byte — the wrap identity (a-b) mod 256 = a - b + 256*[a<b] splits the
+    SAD into candidate-independent row sums plus a borrow count (_sad_body);
+  * borrow-count bits, candidate ref bytes, and cur bytes (all bf16-exact)
+    share ONE single-pass bf16 MXU matmul [(K*F+K+F)*C*bs, W] @ [W, nbw]
+    producing every 8-column box sum with exact f32 accumulation; the SAD
+    is assembled from those by cheap [*, nbw]-wide row reductions.
 
 Column clamping (the first ceil(reach/bs) block columns have an absolute
 candidate grid) is NOT handled here — `motion_search_batch` stitches those
@@ -48,24 +49,52 @@ def _sel_np(w: int, bs: int) -> np.ndarray:
                    np.ones((bs, 1), np.float32))
 
 
-def _sad_kernel(imin_ref, cur_ref, phase_ref, sel_ref, out_ref, acc_ref, *,
-                k, step, reach, bs, w, c, f, pad):
-    """cur_ref [F, C, bs, W] i32; phase_ref [1, C, bs, Wp] i32 (the
-    candidate's ref rows, aligned by the index map); out_ref [1, 1, K*F, nbw]
-    i32; acc_ref [K, F, W] f32 scratch."""
-    cur = cur_ref[...]
-    ref_rows = phase_ref[0]
+def _sad_body(cur, ref_rows, sel, buf_ref, *, k, step, reach, bs, w, c, f,
+              pad):
+    """Shared SAD body: cur [F, C, bs, W] i32, ref_rows [C, bs, Wp] i32,
+    sel [W, nbw] bf16 0/1, buf_ref [(K*F + K + F)*C*bs, W] bf16 scratch ->
+    [K*F, nbw] i32 SADs.
+
+    Uses the wrap identity (seg - cur) mod 256 = seg - cur + 256*[seg < cur]
+    (both operands in [0, 255]): the only per-candidate VPU work is the
+    compare. The borrow-count bits, the candidate's raw ref bytes, and the
+    cur bytes (all bf16-exact: {0,1} and <= 255) share ONE single-pass bf16
+    MXU matmul against the 0/1 block-column matrix, which yields every
+    8-column box sum with f32 accumulation — exact, since each product is
+    exact and each accumulated sum is an integer < 2^24. Only cheap 24-row
+    reductions of the [*, nbw] box sums remain on the VPU. (The old kernel
+    did a full wrap-diff + 24-row reduction per candidate on the VPU and
+    needed a 6-pass HIGHEST f32 matmul for the box sums.)"""
+    rows = c * bs
+    n_cmp, n_seg = k * f * rows, k * rows
     for kj in range(k):
         off = pad + step * kj - reach
         seg = jax.lax.slice(ref_rows, (0, 0, off), (c, bs, off + w))
-        diff = (seg[None] - cur) & 255               # [F, C, bs, W] wrap
-        acc_ref[kj] = diff.sum(axis=(1, 2)).astype(jnp.float32)
-    acc = acc_ref[...].reshape(k * f, w)
-    out_ref[0, 0] = jax.lax.dot_general(
-        acc, sel_ref[...],
+        cmp = (seg[None] < cur).astype(jnp.bfloat16)         # [F, C, bs, W]
+        buf_ref[kj * f * rows:(kj + 1) * f * rows] = cmp.reshape(f * rows, w)
+        buf_ref[n_cmp + kj * rows:n_cmp + (kj + 1) * rows] = (
+            seg.astype(jnp.bfloat16).reshape(rows, w))
+    buf_ref[n_cmp + n_seg:] = cur.astype(jnp.bfloat16).reshape(f * rows, w)
+    box = jax.lax.dot_general(
+        buf_ref[...], sel,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+        preferred_element_type=jnp.float32)                  # [n_rows, nbw]
+    nbw = box.shape[-1]
+    cnt = box[:n_cmp].reshape(k, f, rows, nbw).sum(axis=2)   # [K, F, nbw]
+    r_box = box[n_cmp:n_cmp + n_seg].reshape(k, rows, nbw).sum(axis=1)
+    c_box = box[n_cmp + n_seg:].reshape(f, rows, nbw).sum(axis=1)
+    sad = 256.0 * cnt + r_box[:, None] - c_box[None]         # [K, F, nbw]
+    return sad.reshape(k * f, nbw).astype(jnp.int32)
+
+
+def _sad_kernel(imin_ref, cur_ref, phase_ref, sel_ref, out_ref, buf_ref, *,
+                k, step, reach, bs, w, c, f, pad):
+    """cur_ref [F, C, bs, W] i32; phase_ref [1, C, bs, Wp] i32 (the
+    candidate's ref rows, aligned by the index map); out_ref [1, 1, K*F, nbw]
+    i32; buf_ref [(K*F + K + F)*C*bs, W] bf16 scratch."""
+    out_ref[0, 0] = _sad_body(cur_ref[...], phase_ref[0], sel_ref[...],
+                              buf_ref, k=k, step=step, reach=reach, bs=bs,
+                              w=w, c=c, f=f, pad=pad)
 
 
 def sad_candidates_pallas_batch(curs: jnp.ndarray, ref: jnp.ndarray,
@@ -92,7 +121,7 @@ def sad_candidates_pallas_batch(curs: jnp.ndarray, ref: jnp.ndarray,
                         for q in range(bs)])               # [bs, C, Hrows, Wp]
 
     i_min = jnp.asarray(plan.pos_i[:, 0], jnp.int32)       # [nbh]
-    sel = jnp.asarray(_sel_np(w, bs))
+    sel = jnp.asarray(_sel_np(w, bs), jnp.bfloat16)
 
     kernel = functools.partial(_sad_kernel, k=k, step=step, reach=reach,
                                bs=bs, w=w, c=c, f=f, pad=pad)
@@ -113,7 +142,8 @@ def sad_candidates_pallas_batch(curs: jnp.ndarray, ref: jnp.ndarray,
         out_specs=pl.BlockSpec((1, 1, k * f, nbw),
                                lambda bi, ki, im: (bi, ki, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((k, f, w), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM(((k * f + k + f) * c * bs, w),
+                                   jnp.bfloat16)],
     )
     out = pl.pallas_call(
         kernel,
@@ -228,23 +258,13 @@ def motion_compensate_pallas_gops(mv: jnp.ndarray, refs: jnp.ndarray,
     return out.reshape(g, f, c, h, w)
 
 
-def _sad_kernel_gops(imin_ref, cur_ref, phase_ref, sel_ref, out_ref, acc_ref,
+def _sad_kernel_gops(imin_ref, cur_ref, phase_ref, sel_ref, out_ref, buf_ref,
                      *, k, step, reach, bs, w, c, f, pad):
     """Multi-GOP variant: same as _sad_kernel, but the leading grid axis
     selects the GOP (its own reference phases + its P-frames)."""
-    cur = cur_ref[0]                                 # [F, C, bs, W]
-    ref_rows = phase_ref[0, 0]                       # [C, bs, Wp]
-    for kj in range(k):
-        off = pad + step * kj - reach
-        seg = jax.lax.slice(ref_rows, (0, 0, off), (c, bs, off + w))
-        diff = (seg[None] - cur) & 255               # [F, C, bs, W] wrap
-        acc_ref[kj] = diff.sum(axis=(1, 2)).astype(jnp.float32)
-    acc = acc_ref[...].reshape(k * f, w)
-    out_ref[0, 0, 0] = jax.lax.dot_general(
-        acc, sel_ref[...],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+    out_ref[0, 0, 0] = _sad_body(cur_ref[0], phase_ref[0, 0], sel_ref[...],
+                                 buf_ref, k=k, step=step, reach=reach, bs=bs,
+                                 w=w, c=c, f=f, pad=pad)
 
 
 def sad_candidates_pallas_gops(curs: jnp.ndarray, refs: jnp.ndarray,
@@ -270,7 +290,7 @@ def sad_candidates_pallas_gops(curs: jnp.ndarray, refs: jnp.ndarray,
                         for q in range(bs)], axis=1)   # [B, bs, C, Hrows, Wp]
 
     i_min = jnp.asarray(plan.pos_i[:, 0], jnp.int32)
-    sel = jnp.asarray(_sel_np(w, bs))
+    sel = jnp.asarray(_sel_np(w, bs), jnp.bfloat16)
 
     kernel = functools.partial(_sad_kernel_gops, k=k, step=step, reach=reach,
                                bs=bs, w=w, c=c, f=f, pad=pad)
@@ -292,7 +312,8 @@ def sad_candidates_pallas_gops(curs: jnp.ndarray, refs: jnp.ndarray,
         out_specs=pl.BlockSpec((1, 1, 1, k * f, nbw),
                                lambda g, bi, ki, im: (g, bi, ki, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((k, f, w), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM(((k * f + k + f) * c * bs, w),
+                                   jnp.bfloat16)],
     )
     out = pl.pallas_call(
         kernel,
