@@ -184,6 +184,42 @@ def test_sharded_420_matches_unsharded(rng, qstep):
     assert d.max() <= 2 and (d > 0).mean() < 0.01
 
 
+def test_sharded_420_bframes_matches_unsharded(rng):
+    """The last config-matrix cell (VERDICT r2 Next #3): sharded 4:2:0 with
+    a B-bearing pattern — decoded-anchor halo exchange at both resolutions,
+    chroma riding the halved B vectors — matches the unsharded pipeline420."""
+    from vcs_h264_tpu.models import pipeline420 as p420
+    cfg = CodecConfig(quant_mode="rounded", chroma_420=True,
+                      gop_pattern=("I", "B", "P", "B", "P"),
+                      intra_i=True, intra_qstep=24)
+    mesh = _mesh_or_skip(2, 2)
+    i_b, p_b = _gop_batch(rng, p=4, h=128, w=64)
+    want = p420.jit_encode_gop_batch_420(cfg)(i_b, p_b)
+    got = spatial.sharded_encode_gop_batch_420(i_b, p_b, cfg, mesh)
+    np.testing.assert_array_equal(np.asarray(got.i_y), np.asarray(want.i_y))
+    np.testing.assert_array_equal(np.asarray(got.i_c), np.asarray(want.i_c))
+    np.testing.assert_array_equal(np.asarray(got.mv), np.asarray(want.mv))
+    assert got.b_mv.shape == want.b_mv.shape
+    assert got.b_mode.shape == want.b_mode.shape
+    # float DCT across different partitionings: same per-block math, allow
+    # rare rounding-boundary flips of a single quantization level
+    for a, b in ((got.res_y, want.res_y), (got.res_c, want.res_c)):
+        d = np.abs(np.asarray(a, np.int32) - np.asarray(b, np.int32))
+        assert d.max() <= 1 and (d > 0).mean() < 1e-3
+    # B fields may legitimately diverge where a +-1 anchor flip swings a SAD
+    # tie, so the strong check is decode agreement on the SAME stream: the
+    # sharded and unsharded decoders must reconstruct the sharded stream
+    # identically (up to float-DCT fusion-order flips)
+    got_dec = spatial.sharded_decode_gop_batch_420(got, cfg, mesh)
+    same_dec = p420.decode_gop_batch_420(got, cfg)
+    d = np.abs(np.asarray(got_dec, np.int64) - np.asarray(same_dec, np.int64))
+    assert d.max() <= 2 and (d > 0).mean() < 0.01
+    # and the cross-stream comparison still holds in quality terms
+    want_dec = np.asarray(p420.decode_gop_batch_420(want, cfg), np.int64)
+    d = np.abs(np.asarray(got_dec, np.int64) - want_dec)
+    assert (d > 2).mean() < 0.02
+
+
 def test_gop_data_parallel_sharding(rng):
     """Plain NamedSharding DP over the gop axis compiles and matches."""
     cfg = CodecConfig(with_dct=False)

@@ -21,7 +21,6 @@ from vcs_h264_tpu.ops import motion as M
 
 
 def main():
-    import os
     jax.config.update("jax_compilation_cache_dir", os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".jax_cache"))

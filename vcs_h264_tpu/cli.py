@@ -134,7 +134,6 @@ def _encode_distributed(args, cfg):
 
 
 def cmd_encode(args):
-    _apply_platform(args)
     from vcs_h264_tpu.models import Encoder
     cfg = _cfg(args)
     if args.procs > 1:

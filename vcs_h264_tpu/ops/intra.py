@@ -311,14 +311,24 @@ def luma4x4_codec(y: jnp.ndarray):
 # --- Wavefront machinery ----------------------------------------------------
 # A block's intra neighbors (up, left, up-left, up-right) all have strictly
 # smaller wavefront key 2*bi + bj, so blocks sharing a key reconstruct in
-# parallel. The loop is a lax.scan over anti-diagonals whose carry is only
-# the last THREE diagonals' lane outputs ([3, L, 4, 4], L = min(nbh,
-# ceil(nbw/2))): u lives on diagonal t-2, l/ur on t-1, ul on t-3. All lane
-# bookkeeping (block coords, availability, neighbor lane indices) is
-# precomputed host-side as numpy and fed through scan's xs, so the body does
-# no full-frame gathers/scatters at all — per-step work is O(L) on tiny
+# parallel. The loop is a lax.scan over anti-diagonals. All lane bookkeeping
+# (block coords, availability, neighbor lane indices) is precomputed
+# host-side as numpy and fed through scan's xs, so the body does no
+# full-frame gathers/scatters at all — per-step work is O(L) on tiny
 # buffers. (Round 1 re-evaluated every predictor over the whole frame per
 # step, ~180x more work at 640x360 — VERDICT round 1, Weak #4.)
+#
+# Layout (round 3): all in-scan tensors are POSITION-MAJOR — blocks are
+# [4(row), 4(col), N(batch plane), L(lane)] with the lane axis minor, and
+# neighbor vectors are [4, N, L] / [N, L]. The round-2 layout ([batch, L, 4,
+# 4]) put the 4x4 block dims in the VPU's (8 sublane, 128 lane) tile, using
+# ~1.5% of each vector op; measured 309 ms per 16-frame intra encode at
+# 720p, flat in the scan unroll factor — pure lane-waste, not loop
+# overhead. Position-major keeps every elementwise predictor/transform op
+# dense over (N, L) and shrinks the carry to the only pixels later
+# diagonals can see: the bottom row + right column of diag t-1, the bottom
+# row of t-2, and the bottom-right corner of t-3 (u lives on t-2, l/ur on
+# t-1, ul on t-3).
 
 import numpy as _np
 
@@ -377,88 +387,284 @@ def _lane_xs(plan):
     return {k: jnp.asarray(plan[k]) for k in keys}
 
 
-def _lane_shift(d, sh):
-    """Shift the lane axis of [L, ...] by scalar sh in [-1, 1] (scalar-index
-    dynamic slice — far cheaper on TPU than a per-lane gather)."""
-    pad = jnp.pad(d, ((1, 1),) + ((0, 0),) * (d.ndim - 1))
-    return jax.lax.dynamic_slice_in_dim(pad, sh + 1, d.shape[0], axis=0)
+def _shift_lanes(x, sh):
+    """Shift the minor (lane) axis of [..., L] by scalar sh in [-1, 1]
+    (scalar-index dynamic slice — far cheaper on TPU than a gather).
+
+    A shifted read can only cross a lane-buffer boundary (into the zero pad)
+    for lanes whose availability mask is False — real neighbors always live
+    at an in-range lane index — so the pad value is never observed."""
+    pad = jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((1, 1),))
+    return jax.lax.dynamic_slice_in_dim(pad, sh + 1, x.shape[-1], axis=-1)
 
 
-def _lane_neighbors(d1, d2, d3, xs):
-    """u/l/ul/ur for the current diagonal from the carried lane buffers
-    (d1 = diag t-1, d2 = t-2, d3 = t-3, each [L, 4, 4]) with the reference's
-    128 fills and ur fallback (same semantics as _neighbors)."""
+# Position-major block shuffles. blocks: [4, 4, N, nb]; lanes: [T, 4, 4, N,
+# L]; per-block scalars: [N, nb] <-> [T, N, L]. Invalid lanes hold a clamped
+# duplicate; they are never read back as real data.
+
+
+def _pm_blocks_of_planes(planes):
+    """[N, H, W] -> [4, 4, N, nb] (row, col, batch, block)."""
+    n, h, w = planes.shape
+    nbh, nbw = h // 4, w // 4
+    return planes.reshape(n, nbh, 4, nbw, 4).transpose(2, 4, 0, 1, 3) \
+                 .reshape(4, 4, n, nbh * nbw)
+
+
+def _pm_planes_of_blocks(blocks, h, w):
+    """[4, 4, N, nb] -> [N, H, W]."""
+    n = blocks.shape[2]
+    nbh, nbw = h // 4, w // 4
+    return blocks.reshape(4, 4, n, nbh, nbw).transpose(2, 3, 0, 4, 1) \
+                 .reshape(n, h, w)
+
+
+def _pm_lanes_of_blocks(blocks, plan):
+    """[4, 4, N, nb] -> [T, 4, 4, N, L]."""
+    nbw = plan["blk2lane"].shape[1]
+    idx = jnp.asarray(plan["bi"] * nbw + plan["bj"])      # [T, L]
+    return blocks[..., idx].transpose(3, 0, 1, 2, 4)
+
+
+def _pm_blocks_of_lanes(lanes, plan):
+    """[T, 4, 4, N, L] -> [4, 4, N, nb]."""
+    T, L = plan["T"], plan["L"]
+    n = lanes.shape[3]
+    flat = lanes.transpose(1, 2, 3, 0, 4).reshape(4, 4, n, T * L)
+    return flat[..., jnp.asarray(plan["blk2lane"].reshape(-1))]
+
+
+def _pm_lanes_of_scalars(v, plan):
+    """[N, nb] -> [T, N, L]."""
+    nbw = plan["blk2lane"].shape[1]
+    idx = jnp.asarray(plan["bi"] * nbw + plan["bj"])
+    return v[:, idx].transpose(1, 0, 2)
+
+
+def _pm_scalars_of_lanes(lanes, plan):
+    """[T, N, L] -> [N, nb]."""
+    T, L = plan["T"], plan["L"]
+    n = lanes.shape[1]
+    flat = lanes.transpose(1, 0, 2).reshape(n, T * L)
+    return flat[:, jnp.asarray(plan["blk2lane"].reshape(-1))]
+
+
+def _pm_neighbors(carry, xs_t):
+    """u/l/ul/ur for the current diagonal from the slim carry (row1/col1 =
+    bottom row / right column of diag t-1, row2 = bottom row of t-2, cor3 =
+    bottom-right corner of t-3; rows/cols [4, N, L], corner [N, L]) with the
+    reference's 128 fills and ur fallback (same semantics as _neighbors).
+    The [L] masks broadcast against the minor lane axis."""
+    row1, col1, row2, cor3 = carry
     fill = jnp.int32(128)
-    a_u, a_l, a_ul, a_ur = xs["a_u"], xs["a_l"], xs["a_ul"], xs["a_ur"]
-    u_blk = _lane_shift(d2, xs["sh_u"])                   # [L, 4, 4]
-    u = jnp.where(a_u[:, None], u_blk[:, 3, :], fill)
-    l = jnp.where(a_l[:, None], _lane_shift(d1, xs["sh_l"])[:, :, 3], fill)
-    ul = jnp.where(a_ul, _lane_shift(d3, xs["sh_ul"])[:, 3, 3], fill)
-    ur_fb = jnp.where(a_u[:, None], u_blk[:, 3, -1:], fill)
-    ur = jnp.where(a_ur[:, None], _lane_shift(d1, xs["sh_ur"])[:, 3, :], ur_fb)
+    a_u, a_l, a_ul, a_ur = xs_t["a_u"], xs_t["a_l"], xs_t["a_ul"], xs_t["a_ur"]
+    u_raw = _shift_lanes(row2, xs_t["sh_u"])              # [4, N, L]
+    u = jnp.where(a_u, u_raw, fill)
+    l = jnp.where(a_l, _shift_lanes(col1, xs_t["sh_l"]), fill)
+    ul = jnp.where(a_ul, _shift_lanes(cor3, xs_t["sh_ul"]), fill)
+    ur_fb = jnp.where(a_u, u_raw[3], fill)                # [N, L]
+    ur = jnp.where(a_ur, _shift_lanes(row1, xs_t["sh_ur"]), ur_fb[None])
     return u, l, ul, ur, a_u, a_l, a_ur
 
 
-def _lanes_of_blocks(blocks, plan):
-    """[nb, 4, 4] block-ordered -> [T, L, 4, 4] lane-ordered (invalid lanes
-    hold a clamped duplicate; they are never read back as real data)."""
-    idx = plan["bi"] * plan["blk2lane"].shape[1] + plan["bj"]
-    return blocks[jnp.asarray(idx)]
+def _carry_step(carry, rec):
+    """Advance the slim carry past a diagonal whose blocks are `rec`
+    [4, 4, N, L]."""
+    row1, _, row2, _ = carry
+    return (rec[3], rec[:, 3], row1, row2[3])
 
 
-def _blocks_of_lanes(lanes, plan):
-    """[T, L, ...] lane-ordered -> [nb, ...] block-ordered."""
-    T, L = plan["T"], plan["L"]
-    flat = lanes.reshape(T * L, *lanes.shape[2:])
-    return flat[jnp.asarray(plan["blk2lane"].reshape(-1))]
+def _carry_init(n, L):
+    z4 = jnp.zeros((4, n, L), jnp.int32)
+    return (z4, z4, z4, jnp.zeros((n, L), jnp.int32))
 
 
-def _wavefront_reconstruct(res_blocks, modes, escape, nbh: int, nbw: int,
-                           clip: bool):
-    """res_blocks [nb, 4, 4] int32 (already dequantized residuals), modes
-    [nb] int32, escape [nb] bool -> reconstructed blocks [nb, 4, 4]."""
+# --- Position-major 4x4 predictors: u/l/ur [4, ...], ul [...] -> [4, 4, ...]
+# (same integer formulas as the batch-major pred_* family above; wrap masks
+# broadcast against the trailing axes).
+
+
+def _asm_pm(rows):
+    return jnp.stack([jnp.stack(r, axis=0) for r in rows], axis=0)
+
+
+def _pm_vertical(u):
+    return jnp.broadcast_to(u[None], (4, *u.shape))
+
+
+def _pm_horizontal(l):
+    return jnp.broadcast_to(l[:, None], (4, 4, *l.shape[1:]))
+
+
+def _pm_dc4(u, l, wrap):
+    s = jnp.where(wrap, (u + l) & 255, u + l)
+    avg = jnp.sum(s, axis=0) // 8
+    return jnp.broadcast_to(avg[None, None], (4, 4, *avg.shape))
+
+
+def _pm_downleft(u, ur, ur_wrap):
+    e = jnp.concatenate([u, ur], axis=0)                  # [8, ...]
+    t = [e[s] // 4 + e[s + 1] // 2 + e[s + 2] // 4 for s in range(6)]
+    t.append(e[6] // 4 + _w3(e[7], ur_wrap) // 4)
+    return _asm_pm([[t[r + c] for c in range(4)] for r in range(4)])
+
+
+def _pm_downright(ul, u, l):
+    d = {}
+    d[3] = u[1] // 4 + u[2] // 2 + u[3] // 4
+    d[2] = u[0] // 4 + u[1] // 2 + u[2] // 4
+    d[1] = ul // 4 + u[0] // 2 + u[1] // 4
+    d[0] = ul // 4 + u[0] // 2 + l[0] // 4
+    d[-1] = u[0] // 4 + l[0] // 2 + l[1] // 4
+    d[-2] = l[0] // 4 + l[1] // 2 + l[2] // 4
+    d[-3] = l[1] // 4 + l[2] // 2 + l[3] // 4
+    return _asm_pm([[d[c - r] for c in range(4)] for r in range(4)])
+
+
+def _pm_verticalright(ul, u, l):
+    a0 = ul // 2 + u[0] // 2
+    a1 = u[0] // 2 + u[1] // 2
+    a2 = u[1] // 2 + u[2] // 2
+    a3 = u[2] // 2 + u[3] // 2
+    b0 = u[0] // 4 + ul // 2 + l[0] // 4
+    b1 = ul // 4 + u[0] // 2 + u[1] // 4
+    b2 = u[0] // 4 + u[1] // 2 + u[2] // 4
+    b3 = u[1] // 4 + u[2] // 2 + u[3] // 4
+    c0 = ul // 4 + l[0] // 2 + l[1] // 4
+    d0 = l[0] // 4 + l[1] // 2 + l[2] // 4
+    return _asm_pm([[a0, a1, a2, a3],
+                    [b0, b1, b2, b3],
+                    [c0, a0, a1, a2],
+                    [d0, b0, b1, b2]])
+
+
+def _pm_horizontaldown(ul, u, l):
+    a0 = ul // 2 + l[0] // 2
+    a1 = u[0] // 4 + ul // 2 + l[0] // 4
+    a2 = ul // 4 + u[0] // 2 + u[1] // 4
+    a3 = u[0] // 4 + u[1] // 2 + u[2] // 4
+    b0 = l[0] // 2 + l[1] // 2
+    b1 = ul // 4 + l[1] // 2 + l[2] // 4
+    c0 = l[1] // 2 + l[2] // 2
+    c1 = l[0] // 4 + l[1] // 2 + l[2] // 4
+    d0 = l[2] // 2 + l[3] // 2
+    d1 = l[1] // 4 + l[2] // 2 + l[3] // 4
+    return _asm_pm([[a0, a1, a2, a3],
+                    [b0, b1, a0, a1],
+                    [c0, c1, b0, b1],
+                    [d0, d1, c0, c1]])
+
+
+def _pm_verticalleft(u, ur):
+    a0 = u[0] // 2 + u[1] // 2
+    a1 = u[1] // 2 + u[2] // 2
+    a2 = u[2] // 2 + u[3] // 2
+    a3 = u[3] // 2 + ur[0] // 2
+    a4 = ur[0] // 2 + ur[1] // 2
+    b0 = u[0] // 4 + u[1] // 2 + u[2] // 4
+    b1 = u[1] // 4 + u[2] // 2 + u[3] // 4
+    b2 = u[2] // 4 + u[3] // 2 + ur[0] // 4
+    b3 = u[3] // 4 + ur[0] // 2 + ur[1] // 4
+    b4 = ur[0] // 4 + ur[1] // 2 + ur[2] // 4
+    return _asm_pm([[a0, a1, a2, a3],
+                    [b0, b1, b2, b3],
+                    [a1, a2, a3, a4],
+                    [b1, b2, b3, b4]])
+
+
+def _pm_horizontalup(l, l_wrap):
+    a0 = l[0] // 2 + l[1] // 2
+    a1 = l[0] // 4 + l[1] // 2 + l[2] // 4
+    a2 = l[1] // 2 + l[2] // 2
+    a3 = l[1] // 4 + l[2] // 2 + l[3] // 4
+    b2 = l[2] // 2 + l[3] // 2
+    b3 = l[2] // 4 + _w3(l[3], l_wrap) // 4
+    c = l[3]
+    return _asm_pm([[a0, a1, a2, a3],
+                    [a2, a3, b2, b3],
+                    [b2, b3, c, c],
+                    [c, c, c, c]])
+
+
+def _preds9_pm(u, l, ul, ur, a_u, a_l, a_ur):
+    """The 9 4x4 luma predictors, position-major -> [9, 4, 4, ...]."""
+    return jnp.stack([
+        _pm_vertical(u),
+        _pm_horizontal(l),
+        _pm_dc4(u, l, a_u & a_l),
+        _pm_downleft(u, ur, a_ur),
+        _pm_downright(ul, u, l),
+        _pm_verticalright(ul, u, l),
+        _pm_horizontaldown(ul, u, l),
+        _pm_verticalleft(u, ur),
+        _pm_horizontalup(l, a_l),
+    ])
+
+
+# Wavefront scans unroll several anti-diagonals per lax.scan step: the
+# per-step tensor work is tiny (lanes x 4 x 4 elementwise VPU ops), so the
+# loop's fixed per-step overhead dominates at large frame sizes (~680
+# diagonals at 720p). Unrolling amortizes that overhead without changing
+# semantics (the dependency chain t -> t-1,t-2,t-3 stays sequential inside
+# the unrolled body). 8 measured best on v5e at both 360p and 720p.
+_WAVEFRONT_UNROLL = 8
+
+
+def _wavefront_reconstruct_batch(res_blocks, modes, escape, nbh: int,
+                                 nbw: int, clip: bool):
+    """res_blocks [4, 4, N, nb] int32 (already dequantized residuals), modes
+    [N, nb] int32, escape [N, nb] bool -> reconstructed blocks
+    [4, 4, N, nb]."""
     plan = _wavefront_plan(nbh, nbw)
     xs = _lane_xs(plan)
+    n, L = res_blocks.shape[2], plan["L"]
     # pre-gather per-diagonal inputs (static indices -> one cheap gather)
-    res_l = _lanes_of_blocks(res_blocks, plan)            # [T, L, 4, 4]
-    modes_l = _lanes_of_blocks(modes[:, None, None], plan)[..., 0, 0]
-    esc_l = _lanes_of_blocks(escape[:, None, None], plan)[..., 0, 0]
+    res_l = _pm_lanes_of_blocks(res_blocks, plan)         # [T, 4, 4, N, L]
+    modes_l = _pm_lanes_of_scalars(modes, plan)           # [T, N, L]
+    esc_l = _pm_lanes_of_scalars(escape, plan)
 
     def body(carry, step):
-        d1, d2, d3 = carry
         xs_t, res_t, mode_t, esc_t = step
-        u, l, ul, ur, a_u, a_l, a_ur = _lane_neighbors(d1, d2, d3, xs_t)
-        preds = _preds9(u, l, ul, ur, a_u, a_l, a_ur)     # [9, L, 4, 4]
+        u, l, ul, ur, a_u, a_l, a_ur = _pm_neighbors(carry, xs_t)
+        preds = _preds9_pm(u, l, ul, ur, a_u, a_l, a_ur)  # [9, 4, 4, N, L]
         # one-hot select (vector ops, not a gather); escape -> zero pred
-        sel = ((mode_t[None] == jnp.arange(9)[:, None])
-               & ~esc_t[None]).astype(preds.dtype)        # [9, L]
-        pred = jnp.sum(preds * sel[..., None, None], axis=0)
+        sel = ((mode_t[None] == jnp.arange(9)[:, None, None])
+               & ~esc_t[None]).astype(preds.dtype)        # [9, N, L]
+        pred = jnp.sum(preds * sel[:, None, None], axis=0)
         block = pred + res_t
         if clip:
             block = jnp.clip(block, 0, 255)
-        return (block, d1, d2), block
+        return _carry_step(carry, block), block
 
-    z = jnp.zeros((plan["L"], 4, 4), res_blocks.dtype)
-    _, rec_l = jax.lax.scan(body, (z, z, z), (xs, res_l, modes_l, esc_l))
-    return _blocks_of_lanes(rec_l, plan)
+    _, rec_l = jax.lax.scan(body, _carry_init(n, L),
+                            (xs, res_l, modes_l, esc_l),
+                            unroll=_WAVEFRONT_UNROLL)
+    return _pm_blocks_of_lanes(rec_l, plan)
+
+
+@functools.partial(jax.jit)
+def intra_decode4x4_batch(residual: jnp.ndarray, modes: jnp.ndarray,
+                          escape: jnp.ndarray) -> jnp.ndarray:
+    """Batched wavefront intra decoder (new capability — the reference has
+    no intra decoder at all; its study only plots pred+residual).
+
+    residual [N, H, W] int32, modes [N, nbh, nbw], escape [N, nbh, nbw].
+    Because the encoder predicts from *original* neighbors and the residual
+    is exact, reconstructing in dependency order reproduces the source
+    bit-exactly."""
+    n, h, w = residual.shape
+    nbh, nbw = h // 4, w // 4
+    out = _wavefront_reconstruct_batch(
+        _pm_blocks_of_planes(residual), modes.reshape(n, -1).astype(jnp.int32),
+        escape.reshape(n, -1), nbh, nbw, clip=False)
+    return _pm_planes_of_blocks(out, h, w)
 
 
 @functools.partial(jax.jit)
 def intra_decode4x4(residual: jnp.ndarray, modes: jnp.ndarray,
                     escape: jnp.ndarray) -> jnp.ndarray:
-    """Wavefront intra decoder (new capability — the reference has no intra
-    decoder at all; its study only plots pred+residual).
-
-    Because the encoder predicts from *original* neighbors and the residual
-    is exact, reconstructing in dependency order reproduces the source
-    bit-exactly."""
-    h, w = residual.shape
-    nbh, nbw = h // 4, w // 4
-    res_blocks = _plane_blocks4(residual, nbh, nbw).reshape(-1, 4, 4)
-    out = _wavefront_reconstruct(
-        res_blocks, modes.reshape(-1).astype(jnp.int32),
-        escape.reshape(-1), nbh, nbw, clip=False)
-    return _blocks4_plane(out.reshape(nbh, nbw, 4, 4), h, w)
+    """Single-plane wavefront intra decode (see intra_decode4x4_batch)."""
+    return intra_decode4x4_batch(residual[None], modes[None], escape[None])[0]
 
 
 # --- Lossy intra: H.264 4x4 integer core transform, closed loop -------------
@@ -515,65 +721,114 @@ def _blocks4_plane(blocks, h, w):
     return blocks.transpose(0, 2, 1, 3).reshape(h, w)
 
 
-@functools.partial(jax.jit, static_argnames=("qstep",))
-def intra_encode4x4_lossy(y: jnp.ndarray, qstep: int):
-    """Closed-loop lossy intra encode of one plane.
+# Position-major core transform (blocks [4, 4, ...]): the 4x4 constant
+# matrices contract over the two LEADING axes, unrolled into +-1/+-2 integer
+# multiply-adds over dense [...] vectors (the trailing axes carry the
+# (batch, lane) data, so every op is lane-dense on the VPU).
 
-    y: int32 [H, W] (uint8 values), dims multiples of 4.
-    Returns (qcoef [H,W] int32 block-layout plane, modes [nbh,nbw] int32,
-    escape [nbh,nbw] bool, recon [H,W] int32 — the decoder's exact output).
+
+def _mat4_rows_pm(m, x):
+    """y[i] = sum_j m[i][j] * x[j] over the leading axis of x [4, ...]."""
+    return jnp.stack([sum(m[i][j] * x[j] for j in range(4))
+                      for i in range(4)], axis=0)
+
+
+def _core4_both_pm(m, x):
+    """m X m^T for position-major X [4, 4, ...] and 4x4 integer m."""
+    t = _mat4_rows_pm(m, x)                                # rows
+    return _mat4_rows_pm(m, t.swapaxes(0, 1)).swapaxes(0, 1)   # cols
+
+
+def core4_fwd_pm(blocks: jnp.ndarray) -> jnp.ndarray:
+    """[4, 4, ...] int32 residual -> unscaled coefficients (Cf X Cf^T)."""
+    return _core4_both_pm(_CF4, blocks)
+
+
+def core4_quant_pm(coef: jnp.ndarray, qstep: int) -> jnp.ndarray:
+    gn = jnp.asarray(_G4X400, jnp.int32).reshape(
+        4, 4, *([1] * (coef.ndim - 2)))
+    return _iround_div(coef * gn, 400 * qstep)
+
+
+def core4_dequant_inv_pm(q: jnp.ndarray, qstep: int) -> jnp.ndarray:
+    """Quantized coefficients [4, 4, ...] -> reconstructed residual."""
+    return _iround_div(_core4_both_pm(_CI4X2, q * jnp.int32(qstep)), 4)
+
+
+@functools.partial(jax.jit, static_argnames=("qstep",))
+def intra_encode4x4_lossy_batch(planes: jnp.ndarray, qstep: int):
+    """Closed-loop lossy intra encode of a batch of planes.
+
+    planes: int32 [N, H, W] (uint8 values), dims multiples of 4.
+    Returns (qcoef [N,H,W] int32 block-layout planes, modes [N,nbh,nbw]
+    int32, escape [N,nbh,nbw] bool, recon [N,H,W] int32 — the decoder's
+    exact output).
 
     The mode search scores predictions (from the *reconstructed* plane,
     unlike the study's original-neighbor search) against the original block
     with the reference's strict-< / 16*255-sentinel selection semantics."""
-    h, w = y.shape
+    n, h, w = planes.shape
     nbh, nbw = h // 4, w // 4
-    nb = nbh * nbw
     plan = _wavefront_plan(nbh, nbw)
     xs = _lane_xs(plan)
-    orig_l = _lanes_of_blocks(
-        _plane_blocks4(y, nbh, nbw).reshape(nb, 4, 4), plan)  # [T, L, 4, 4]
+    L = plan["L"]
+    orig_l = _pm_lanes_of_blocks(_pm_blocks_of_planes(planes), plan)
 
     def body(carry, step):
-        d1, d2, d3 = carry
-        xs_t, oblk = step
-        u, l, ul, ur, a_u, a_l, a_ur = _lane_neighbors(d1, d2, d3, xs_t)
-        preds = _preds9(u, l, ul, ur, a_u, a_l, a_ur)     # [9, L, 4, 4]
-        diffs = jnp.sum(jnp.abs(preds - oblk[None]), axis=(-2, -1))  # [9, L]
+        xs_t, oblk = step                                 # oblk [4, 4, N, L]
+        u, l, ul, ur, a_u, a_l, a_ur = _pm_neighbors(carry, xs_t)
+        preds = _preds9_pm(u, l, ul, ur, a_u, a_l, a_ur)  # [9, 4, 4, N, L]
+        diffs = jnp.sum(jnp.abs(preds - oblk[None]), axis=(1, 2))  # [9, N, L]
         with_init = jnp.concatenate(
             [jnp.full_like(diffs[:1], 16 * 255), diffs], axis=0)
         best = jnp.argmin(with_init, axis=0)              # first-min wins
         esc = best == 0
         mode = jnp.where(esc, 0, best - 1)
-        sel = ((mode[None] == jnp.arange(9)[:, None])
+        sel = ((mode[None] == jnp.arange(9)[:, None, None])
                & ~esc[None]).astype(preds.dtype)          # one-hot, no gather
-        pred = jnp.sum(preds * sel[..., None, None], axis=0)
-        q = core4_quant(core4_fwd(oblk - pred), qstep)
-        rec = jnp.clip(pred + core4_dequant_inv(q, qstep), 0, 255)
-        return (rec, d1, d2), (rec, q, mode, esc)
+        pred = jnp.sum(preds * sel[:, None, None], axis=0)
+        q = core4_quant_pm(core4_fwd_pm(oblk - pred), qstep)
+        rec = jnp.clip(pred + core4_dequant_inv_pm(q, qstep), 0, 255)
+        return _carry_step(carry, rec), (rec, q, mode, esc)
 
-    z = jnp.zeros((plan["L"], 4, 4), jnp.int32)
     _, (rec_l, q_l, mode_l, esc_l) = jax.lax.scan(
-        body, (z, z, z), (xs, orig_l))
-    to_blocks = lambda lanes: _blocks_of_lanes(lanes, plan)
-    return (_blocks4_plane(to_blocks(q_l).reshape(nbh, nbw, 4, 4), h, w),
-            to_blocks(mode_l[..., None, None])[..., 0, 0].reshape(nbh, nbw),
-            to_blocks(esc_l[..., None, None])[..., 0, 0].reshape(nbh, nbw),
-            _blocks4_plane(to_blocks(rec_l).reshape(nbh, nbw, 4, 4), h, w))
+        body, _carry_init(n, L), (xs, orig_l), unroll=_WAVEFRONT_UNROLL)
+    return (_pm_planes_of_blocks(_pm_blocks_of_lanes(q_l, plan), h, w),
+            _pm_scalars_of_lanes(mode_l, plan).reshape(n, nbh, nbw),
+            _pm_scalars_of_lanes(esc_l, plan).reshape(n, nbh, nbw),
+            _pm_planes_of_blocks(_pm_blocks_of_lanes(rec_l, plan), h, w))
+
+
+@functools.partial(jax.jit, static_argnames=("qstep",))
+def intra_encode4x4_lossy(y: jnp.ndarray, qstep: int):
+    """Single-plane closed-loop lossy intra encode (see
+    intra_encode4x4_lossy_batch)."""
+    q, modes, escape, recon = intra_encode4x4_lossy_batch(y[None], qstep)
+    return q[0], modes[0], escape[0], recon[0]
+
+
+@functools.partial(jax.jit, static_argnames=("qstep",))
+def intra_decode4x4_lossy_batch(qcoef: jnp.ndarray, modes: jnp.ndarray,
+                                escape: jnp.ndarray,
+                                qstep: int) -> jnp.ndarray:
+    """Batched wavefront decode, bit-exact inverse of the encoder's recon.
+
+    qcoef [N, H, W], modes/escape [N, nbh, nbw] -> [N, H, W] int32."""
+    n, h, w = qcoef.shape
+    nbh, nbw = h // 4, w // 4
+    res_hat = core4_dequant_inv_pm(_pm_blocks_of_planes(qcoef), qstep)
+    out = _wavefront_reconstruct_batch(
+        res_hat, modes.reshape(n, -1).astype(jnp.int32),
+        escape.reshape(n, -1), nbh, nbw, clip=True)
+    return _pm_planes_of_blocks(out, h, w)
 
 
 @functools.partial(jax.jit, static_argnames=("qstep",))
 def intra_decode4x4_lossy(qcoef: jnp.ndarray, modes: jnp.ndarray,
                           escape: jnp.ndarray, qstep: int) -> jnp.ndarray:
-    """Wavefront decode, bit-exact inverse of the encoder's recon."""
-    h, w = qcoef.shape
-    nbh, nbw = h // 4, w // 4
-    res_hat = core4_dequant_inv(_plane_blocks4(qcoef, nbh, nbw),
-                                qstep).reshape(-1, 4, 4)
-    out = _wavefront_reconstruct(
-        res_hat, modes.reshape(-1).astype(jnp.int32),
-        escape.reshape(-1), nbh, nbw, clip=True)
-    return _blocks4_plane(out.reshape(nbh, nbw, 4, 4), h, w)
+    """Single-plane wavefront decode (see intra_decode4x4_lossy_batch)."""
+    return intra_decode4x4_lossy_batch(
+        qcoef[None], modes[None], escape[None], qstep)[0]
 
 
 @functools.partial(jax.jit)

@@ -41,6 +41,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vcs_h264_tpu.ops.motion import MotionSearchPlan
 
+# VMEM is ~16 MiB/core on v5e; the SAD kernel's bf16 scratch is
+# (K*F + K + F)*C*bs rows of W and grows linearly with the GOP length F.
+# Budget it explicitly so a long --gop pattern fails with a clear message
+# instead of an opaque Mosaic allocation error (ADVICE r2).
+_VMEM_SCRATCH_BUDGET = 8 * 1024 * 1024
+
+
+def _check_scratch_budget(k: int, f: int, c: int, bs: int, w: int) -> None:
+    scratch = (k * f + k + f) * c * bs * w * 2
+    if scratch > _VMEM_SCRATCH_BUDGET:
+        raise ValueError(
+            f"SAD kernel VMEM scratch {scratch / 2**20:.1f} MiB exceeds the "
+            f"{_VMEM_SCRATCH_BUDGET / 2**20:.0f} MiB budget (K={k}, F={f}, "
+            f"C={c}, bs={bs}, W={w}). Shorten the GOP pattern or split the "
+            "P-frame batch into chunks.")
+
 
 @functools.lru_cache(maxsize=None)
 def _sel_np(w: int, bs: int) -> np.ndarray:
@@ -107,6 +123,7 @@ def sad_candidates_pallas_batch(curs: jnp.ndarray, ref: jnp.ndarray,
     bs, reach, step, k = plan.bs, plan.reach, plan.step, plan.k
     h, w, nbh, nbw = plan.h, plan.w, plan.nbh, plan.nbw
     f, c = curs.shape[0], curs.shape[1]
+    _check_scratch_budget(k, f, c, bs, w)
     pad = reach + bs
 
     curs32 = curs.astype(jnp.int32)
@@ -276,6 +293,7 @@ def sad_candidates_pallas_gops(curs: jnp.ndarray, refs: jnp.ndarray,
     bs, reach, step, k = plan.bs, plan.reach, plan.step, plan.k
     h, w, nbh, nbw = plan.h, plan.w, plan.nbh, plan.nbw
     b, f, c = curs.shape[0], curs.shape[1], curs.shape[2]
+    _check_scratch_budget(k, f, c, bs, w)
     pad = reach + bs
 
     curs32 = curs.astype(jnp.int32)

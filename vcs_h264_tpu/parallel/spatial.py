@@ -473,7 +473,14 @@ _CF_SPEC = P("gop", None, None, "tile", None)          # [B, F, 2, H/2, W/2]
 def make_sharded_encoder_420(mesh: Mesh, cfg: CodecConfig, h: int, w: int):
     """fn(i_frames [B,3,H,W] BGR i32, p_frames [B,F,3,H,W]) -> EncodedGOP420
     batch sharded over (gop, tile). Tile height must be a multiple of
-    2*block_size (half-res chroma DCT blocks) and >= halo."""
+    2*block_size (half-res chroma DCT blocks) and >= halo.
+
+    B-bearing patterns mirror the full-res sharded B path: anchors are
+    decoded tile-locally, then a second ppermute halo exchange of the
+    decoded-anchor stacks (luma at full halo, chroma at the halved halo)
+    feeds the bidirectional tile searches; chroma rides the halved B
+    vectors. p_frames must hold complete GOPs (F == gop_len-1) when the
+    pattern has B frames."""
     from vcs_h264_tpu.models import pipeline420 as p420
 
     n_tile = mesh.shape["tile"]
@@ -483,11 +490,6 @@ def make_sharded_encoder_420(mesh: Mesh, cfg: CodecConfig, h: int, w: int):
     if th % (2 * bs) or (n_tile > 1 and th < halo):
         raise ValueError(f"tile height {th} must be a multiple of {2 * bs} "
                          f"and >= halo {halo}")
-    if cfg.has_b:
-        raise NotImplementedError(
-            "sharded 4:2:0 does not implement B-frame patterns yet — use "
-            "the unsharded pipeline420 (which does), or an all-P pattern; "
-            "refusing rather than silently coding all-P")
     bs_c = bs // 2
     halo_c = max(1, cfg.search_reach // 2) + bs_c
     th_c = th // 2
@@ -500,32 +502,104 @@ def make_sharded_encoder_420(mesh: Mesh, cfg: CodecConfig, h: int, w: int):
                        static_threshold=static_t,
                        quality_factor=cfg.quality_factor)
     qy, qc = p420._tables(cfg)
+    use_b = cfg.has_b
+    if use_b:
+        _, _, prev_slot, next_slot, p_sel, b_sel = gop_layout(cfg.gop_pattern)
 
     def local_fn(y_t, c_t, yp_t, cp_t, valid_i_t, pos_i_t):
         # y_t [Bl, th, W]; c_t [Bl, 2, th/2, W/2]; yp_t [Bl, F, th, W];
-        # cp_t [Bl, F, 2, th/2, W/2]
+        # cp_t [Bl, F, 2, th/2, W/2] (all non-I frames, display order)
         tile_idx = lax.axis_index("tile")
         y_strip = _halo_exchange(y_t[:, None], halo, "tile")   # [Bl,1,th+2h,W]
         c_strip = _halo_exchange(c_t, halo_c, "tile")
+        yp_f = yp_t[:, np.array(p_sel)] if use_b else yp_t
+        cp_f = cp_t[:, np.array(p_sel)] if use_b else cp_t
+
+        def comp_y(mv, ys):
+            """[F, nbh_t, nbw, 2] x luma strip [1, th+2h, W] -> [F, th, W]."""
+            return jax.vmap(lambda m: tile_motion_compensate(
+                m, ys, tile_idx, bs, th, halo))(mv)[:, 0]
+
+        def comp_c(mv, cs):
+            """Chroma rides the halved luma vectors on half-res strips."""
+            return jax.vmap(lambda m: tile_motion_compensate(
+                m, cs, tile_idx, bs_c, th_c, halo_c))(jnp.floor_divide(mv, 2))
 
         def per_gop(ys, cs, yp, cp):
             mv = jax.vmap(lambda p: tile_motion_search(
                 p[None], ys, valid_i_t, pos_i_t, tile_idx, scfg, h, w, th)
             )(yp)                                       # [F, nbh_t, nbw, 2]
-            rec_y = jax.vmap(lambda m: tile_motion_compensate(
-                m, ys, tile_idx, bs, th, halo))(mv)[:, 0]
-            mv_c = jnp.floor_divide(mv, 2)
-            rec_c = jax.vmap(lambda m: tile_motion_compensate(
-                m, cs, tile_idx, bs_c, th_c, halo_c))(mv_c)
+            rec_y = comp_y(mv, ys)
+            rec_c = comp_c(mv, cs)
             res_y = p420._code_planes(yp - rec_y, qy, bs)
             res_c = p420._code_planes(cp - rec_c, qc, bs)
-            return mv, res_y, res_c
+            if not use_b:
+                return mv, res_y, res_c, None, None
+            # closed loop: B frames reference the *decoded* anchors
+            dec_y = jnp.clip(rec_y + p420._decode_planes(res_y, qy, bs),
+                             0, 255)
+            dec_c = jnp.clip(rec_c + p420._decode_planes(res_c, qc, bs),
+                             0, 255)
+            return mv, res_y, res_c, dec_y, dec_c
 
-        mv, res_y, res_c = jax.vmap(per_gop)(y_strip, c_strip, yp_t, cp_t)
-        return {"y": y_t, "c": c_t, "mv": mv, "resy": res_y, "resc": res_c}
+        mv, res_y, res_c, dec_y, dec_c = jax.vmap(per_gop)(
+            y_strip, c_strip, yp_f, cp_f)
+        out = {"y": y_t, "c": c_t, "mv": mv, "resy": res_y, "resc": res_c}
+        if not use_b:
+            return out
+
+        yb = yp_t[:, np.array(b_sel)]                # [Bl, NB, th, W]
+        cb = cp_t[:, np.array(b_sel)]                # [Bl, NB, 2, th_c, Wc]
+        anch_y = jnp.concatenate([y_t[:, None], dec_y], axis=1)
+        anch_c = jnp.concatenate([c_t[:, None], dec_c], axis=1)
+        ay = _halo_exchange(anch_y, halo, "tile")    # [Bl, NA, th+2h, W]
+        ac = _halo_exchange(anch_c, halo_c, "tile")
+        prev_ys, next_ys = ay[:, np.array(prev_slot)], ay[:, np.array(next_slot)]
+        prev_cs, next_cs = ac[:, np.array(prev_slot)], ac[:, np.array(next_slot)]
+
+        def b_stage(p_ys, n_ys, p_cs, n_cs, ybf, cbf):
+            def search_one(s, p):
+                return tile_motion_search(p[None], s[None], valid_i_t,
+                                          pos_i_t, tile_idx, scfg, h, w, th)
+            mv_f = jax.vmap(search_one)(p_ys, ybf)   # [NB, nbh_t, nbw, 2]
+            mv_b = jax.vmap(search_one)(n_ys, ybf)
+            comp1_y = lambda m, s: tile_motion_compensate(
+                m, s[None], tile_idx, bs, th, halo)[0]
+            comp1_c = lambda m, cs2: tile_motion_compensate(
+                jnp.floor_divide(m, 2), cs2, tile_idx, bs_c, th_c, halo_c)
+            pf_y = jax.vmap(comp1_y)(mv_f, p_ys)
+            pb_y = jax.vmap(comp1_y)(mv_b, n_ys)
+            pf_c = jax.vmap(comp1_c)(mv_f, p_cs)
+            pb_c = jax.vmap(comp1_c)(mv_b, n_cs)
+            # per-block fwd/bwd/bi decision on luma SAD (first-minimum wins,
+            # pipeline420.encode_gop_batch_420 semantics)
+            bi_y = (pf_y + pb_y + 1) >> 1
+            sads = jnp.stack([_tile_sums(jnp.abs(p - ybf)[:, None], bs)
+                              for p in (pf_y, pb_y, bi_y)])
+            mode = jnp.argmin(sads, axis=0).astype(jnp.int8)
+            mpy = jnp.repeat(jnp.repeat(mode, bs, -2), bs, -1)
+            mpy = mpy.astype(jnp.int32)
+            pred_by = jnp.where(mpy == 0, pf_y,
+                                jnp.where(mpy == 1, pb_y, bi_y))
+            mpc = jnp.repeat(jnp.repeat(mode, bs_c, -2), bs_c, -1)[:, None]
+            mpc = mpc.astype(jnp.int32)
+            bi_c = (pf_c + pb_c + 1) >> 1
+            pred_bc = jnp.where(mpc == 0, pf_c,
+                                jnp.where(mpc == 1, pb_c, bi_c))
+            bres_y = p420._code_planes(ybf - pred_by, qy, bs)
+            bres_c = p420._code_planes(cbf - pred_bc, qc, bs)
+            return jnp.stack([mv_f, mv_b], axis=1), mode, bres_y, bres_c
+
+        b_mv, b_mode, bres_y, bres_c = jax.vmap(b_stage)(
+            prev_ys, next_ys, prev_cs, next_cs, yb, cb)
+        out.update(bmv=b_mv, bmode=b_mode, bresy=bres_y, bresc=bres_c)
+        return out
 
     out_specs = {"y": _Y_SPEC, "c": _C_SPEC, "mv": _MV_SPEC,
                  "resy": _YF_SPEC, "resc": _CF_SPEC}
+    if use_b:
+        out_specs.update(bmv=_BMV_SPEC, bmode=_BMODE_SPEC,
+                         bresy=_YF_SPEC, bresc=_CF_SPEC)
     fn = jax.shard_map(local_fn, mesh=mesh,
                        in_specs=(_Y_SPEC, _C_SPEC, _YF_SPEC, _CF_SPEC,
                                  _PLAN_SPEC, _PLAN_SPEC),
@@ -560,14 +634,20 @@ def make_sharded_encoder_420(mesh: Mesh, cfg: CodecConfig, h: int, w: int):
             ie_y=None if pay_y is None else pay_y.escape,
             iq_c=None if pay_c is None else pay_c.qcoef,
             im_c=None if pay_c is None else pay_c.modes,
-            ie_c=None if pay_c is None else pay_c.escape)
+            ie_c=None if pay_c is None else pay_c.escape,
+            b_mv=out.get("bmv"), b_mode=out.get("bmode"),
+            bres_y=out.get("bresy"), bres_c=out.get("bresc"))
 
     return run
 
 
 @functools.lru_cache(maxsize=None)
 def make_sharded_decoder_420(mesh: Mesh, cfg: CodecConfig, h: int, w: int):
-    """fn(EncodedGOP420 batch) -> BGR frames [B, gop_len, 3, H, W] i32."""
+    """fn(EncodedGOP420 batch) -> BGR frames [B, gop_len, 3, H, W] i32.
+
+    B-bearing patterns reconstruct anchors tile-locally, halo-exchange the
+    decoded-anchor stacks (luma + half-res chroma), and compensate B frames
+    bidirectionally — mirroring make_sharded_decoder."""
     from vcs_h264_tpu.models import pipeline420 as p420
 
     n_tile = mesh.shape["tile"]
@@ -578,8 +658,14 @@ def make_sharded_decoder_420(mesh: Mesh, cfg: CodecConfig, h: int, w: int):
     halo_c = max(1, cfg.search_reach // 2) + bs_c
     th_c = th // 2
     qy, qc = p420._tables(cfg)
+    use_b = cfg.has_b
+    if use_b:
+        anchor_pos, b_pos, prev_slot, next_slot, _, _ = \
+            gop_layout(cfg.gop_pattern)
 
-    def local_fn(y_t, c_t, mv_t, resy_t, resc_t):
+    def local_fn(ins):
+        y_t, c_t, mv_t = ins["y"], ins["c"], ins["mv"]
+        resy_t, resc_t = ins["resy"], ins["resc"]
         tile_idx = lax.axis_index("tile")
         y_strip = _halo_exchange(y_t[:, None], halo, "tile")
         c_strip = _halo_exchange(c_t, halo_c, "tile")
@@ -600,17 +686,63 @@ def make_sharded_decoder_420(mesh: Mesh, cfg: CodecConfig, h: int, w: int):
 
         y, c = jax.vmap(per_gop)(y_strip, c_strip, y_t, c_t,
                                  mv_t, resy_t, resc_t)
-        return y, c                                   # [Bl,1+F,th,W], chroma
+        if not use_b:
+            return y, c                               # [Bl,1+F,th,W], chroma
 
-    fn = jax.shard_map(local_fn, mesh=mesh,
-                       in_specs=(_Y_SPEC, _C_SPEC, _MV_SPEC,
-                                 _YF_SPEC, _CF_SPEC),
+        bmv_t, bmode_t = ins["bmv"], ins["bmode"]
+        bresy_t, bresc_t = ins["bresy"], ins["bresc"]
+        ay = _halo_exchange(y, halo, "tile")          # [Bl, NA, th+2h, W]
+        ac = _halo_exchange(c, halo_c, "tile")
+        prev_ys, next_ys = ay[:, np.array(prev_slot)], ay[:, np.array(next_slot)]
+        prev_cs, next_cs = ac[:, np.array(prev_slot)], ac[:, np.array(next_slot)]
+
+        def b_gop(p_ys, n_ys, p_cs, n_cs, bmv, bmode, bres_y, bres_c):
+            comp1_y = lambda m, s: tile_motion_compensate(
+                m, s[None], tile_idx, bs, th, halo)[0]
+            comp1_c = lambda m, cs2: tile_motion_compensate(
+                jnp.floor_divide(m, 2), cs2, tile_idx, bs_c, th_c, halo_c)
+            pf_y = jax.vmap(comp1_y)(bmv[:, 0], p_ys)
+            pb_y = jax.vmap(comp1_y)(bmv[:, 1], n_ys)
+            pf_c = jax.vmap(comp1_c)(bmv[:, 0], p_cs)
+            pb_c = jax.vmap(comp1_c)(bmv[:, 1], n_cs)
+            mpy = jnp.repeat(jnp.repeat(bmode, bs, -2), bs, -1)
+            mpy = mpy.astype(jnp.int32)
+            by = jnp.where(mpy == 0, pf_y,
+                           jnp.where(mpy == 1, pb_y, (pf_y + pb_y + 1) >> 1))
+            mpc = jnp.repeat(jnp.repeat(bmode, bs_c, -2), bs_c, -1)[:, None]
+            mpc = mpc.astype(jnp.int32)
+            bc = jnp.where(mpc == 0, pf_c,
+                           jnp.where(mpc == 1, pb_c, (pf_c + pb_c + 1) >> 1))
+            by = jnp.clip(by + p420._decode_planes(bres_y, qy, bs), 0, 255)
+            bc = jnp.clip(bc + p420._decode_planes(bres_c, qc, bs), 0, 255)
+            return by, bc
+
+        by, bc = jax.vmap(b_gop)(prev_ys, next_ys, prev_cs, next_cs,
+                                 bmv_t, bmode_t, bresy_t, bresc_t)
+        bl = y.shape[0]
+        yo = jnp.zeros((bl, cfg.gop_len, *y.shape[2:]), jnp.int32)
+        co = jnp.zeros((bl, cfg.gop_len, *c.shape[2:]), jnp.int32)
+        y = yo.at[:, np.array(anchor_pos)].set(y).at[:, np.array(b_pos)].set(by)
+        c = co.at[:, np.array(anchor_pos)].set(c).at[:, np.array(b_pos)].set(bc)
+        return y, c
+
+    in_specs = {"y": _Y_SPEC, "c": _C_SPEC, "mv": _MV_SPEC,
+                "resy": _YF_SPEC, "resc": _CF_SPEC}
+    if use_b:
+        in_specs.update(bmv=_BMV_SPEC, bmode=_BMODE_SPEC,
+                        bresy=_YF_SPEC, bresc=_CF_SPEC)
+    fn = jax.shard_map(local_fn, mesh=mesh, in_specs=(in_specs,),
                        out_specs=(_YF_SPEC, _CF_SPEC), check_vma=False)
 
     @jax.jit
     def run(gop):
-        y, c = fn(gop.i_y.astype(jnp.int32), gop.i_c.astype(jnp.int32),
-                  gop.mv, gop.res_y, gop.res_c)
+        ins = {"y": gop.i_y.astype(jnp.int32),
+               "c": gop.i_c.astype(jnp.int32),
+               "mv": gop.mv, "resy": gop.res_y, "resc": gop.res_c}
+        if use_b:
+            ins.update(bmv=gop.b_mv, bmode=gop.b_mode,
+                       bresy=gop.bres_y, bresc=gop.bres_c)
+        y, c = fn(ins)
         return p420.emit_bgr(y, c)
 
     return run
