@@ -46,7 +46,8 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 VIDEO = "/root/reference/videos/slow_traffic_small.mp4"
 BASE = os.path.join(_DIR, "BASELINE_MEASURED.json")
 N_FRAMES = 64          # frames resident on device (16 GOPs)
-N_ITERS = 8            # fused-loop iterations (headline)
+N_ITERS = 32           # fused-loop iterations (headline; >= 2 s window)
+N_REPEAT = 3           # repeated timed runs; report the median
 # Extras are attempted as long as budget remains; the external timeout is the
 # real bound (lines print progressively, so a kill mid-extra still leaves the
 # last complete line for the driver). The known 5-10 min pre-device tunnel
@@ -172,13 +173,19 @@ def main():
         return fused_loop(step, N_ITERS)
 
     _ = int(bench_loop(i_b, p_b))                       # compile + warmup
-    t0 = time.perf_counter()
-    _ = int(bench_loop(i_b, p_b))
-    dt = time.perf_counter() - t0
+    runs = []
+    for _rep in range(N_REPEAT):
+        t0 = time.perf_counter()
+        _ = int(bench_loop(i_b, p_b))
+        runs.append(time.perf_counter() - t0)
+        if left() < 120:
+            break
+    dt = sorted(runs)[len(runs) // 2]                   # median
     fps = N_ITERS * b * g / dt
     result.update(value=round(fps, 1),
                   vs_baseline=round(fps / base_fps, 1) if base_fps else None,
-                  frames=N_ITERS * b * g, seconds=round(dt, 3))
+                  frames=N_ITERS * b * g, seconds=round(dt, 3),
+                  runs_s=[round(r, 3) for r in runs])
     print(json.dumps(result), flush=True)
 
     # ---- extras: production mode + 720p, while the budget allows ----------
@@ -244,13 +251,15 @@ def main():
     try:
         if left() > 45:
             result["production_fps_640x360"] = prod_bench(
-                i_b, p_b, 4, "production 640x360")
+                i_b, p_b, 8, "production 640x360")
             print(json.dumps(result), flush=True)
         if left() > 45:
             # 720p operating point: 2x2-tile the 640x360 frames (north-star
-            # metric is fps per chip at 1280x720, intra+inter)
-            arr720 = np.tile(arr[:16], (1, 1, 2, 2))    # [16,3,720,1280] u8
-            b7 = 16 // g
+            # metric is fps per chip at 1280x720, intra+inter); 32-frame
+            # window so the wavefront intra batch (8 I-planes x 3 channels)
+            # keeps the kernel's (batch, lane) axis dense
+            arr720 = np.tile(arr[:32], (1, 1, 2, 2))    # [32,3,720,1280] u8
+            b7 = 32 // g
             i7 = jnp.asarray(arr720[::g][:b7]).astype(jnp.int32)
             p7 = jnp.asarray(np.stack(
                 [arr720[k * g + 1:k * g + g]

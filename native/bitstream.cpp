@@ -131,3 +131,248 @@ int64_t vcs_rle_decode_i16(const uint8_t* in, int64_t nbytes,
 int64_t vcs_rle_bound(int64_t n) { return 8 * n + 16; }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// v8: adaptive binary range coder (LZMA-style) + context-modeled token codes.
+//
+// The plain exp-Golomb layer above spends ~9 bits per nonzero coefficient at
+// QF50 although ~82% of nonzero levels are +-1 and runs are bimodal (DC-
+// dense, AC-sparse); the raw int8 intra mode maps were 36% of a production
+// container. This layer replaces both with a carry-less range coder
+// (12-bit adaptive probabilities, >>5 adaptation) over truncated-unary
+// binarizations with per-bin contexts, exp-Golomb bypass tails for
+// outliers, and a dedicated multi-symbol path for mode maps. A bit-identical
+// pure-Python implementation lives in io/bitstream.py (_py_rc_*).
+
+namespace rc {
+
+constexpr uint32_t kTop = 1u << 24;
+constexpr int kProbBits = 12;
+constexpr uint16_t kProbInit = 1 << (kProbBits - 1);
+constexpr int kRate = 5;
+// truncated-unary caps (remainder goes to the exp-Golomb0 bypass tail)
+constexpr int kRunCap = 16;
+constexpr int kLevCap = 16;
+
+struct Encoder {
+    uint8_t* buf;
+    int64_t cap;
+    int64_t pos = 0;
+    uint64_t low = 0;
+    uint32_t range = 0xFFFFFFFFu;
+    uint8_t cache = 0;
+    int64_t cache_size = 1;
+    bool overflow = false;
+
+    void put_byte(uint8_t b) {
+        if (pos >= cap) { overflow = true; return; }
+        buf[pos++] = b;
+    }
+
+    void shift_low() {
+        if ((uint32_t)low < 0xFF000000u || (unsigned)(low >> 32) != 0) {
+            uint8_t carry = (uint8_t)(low >> 32);
+            uint8_t temp = cache;
+            do { put_byte((uint8_t)(temp + carry)); temp = 0xFF; }
+            while (--cache_size);
+            cache = (uint8_t)(low >> 24);
+        }
+        ++cache_size;
+        low = (uint32_t)low << 8;
+    }
+
+    void bit(uint16_t* p, int b) {
+        uint32_t split = (range >> kProbBits) * (*p);
+        if (!b) {
+            range = split;
+            *p = (uint16_t)(*p + (((1u << kProbBits) - *p) >> kRate));
+        } else {
+            low += split;
+            range -= split;
+            *p = (uint16_t)(*p - (*p >> kRate));
+        }
+        while (range < kTop) { shift_low(); range <<= 8; }
+    }
+
+    void bypass(int b) {
+        range >>= 1;
+        if (b) low += range;
+        while (range < kTop) { shift_low(); range <<= 8; }
+    }
+
+    void bypass_eg0(uint32_t v) {       // exp-Golomb0 through bypass bits
+        uint64_t x = (uint64_t)v + 1;
+        int nbits = 0;
+        for (uint64_t t = x; t > 1; t >>= 1) ++nbits;
+        for (int i = 0; i < nbits; ++i) bypass(0);
+        for (int i = nbits; i >= 0; --i) bypass((x >> i) & 1);
+    }
+
+    // truncated unary (1 = continue) with per-position contexts, EG0 tail
+    void tu(uint16_t* bins, int cap_, uint32_t v) {
+        int stop = v < (uint32_t)cap_ ? (int)v : cap_;
+        for (int j = 0; j < stop; ++j) bit(&bins[j], 1);
+        if (v < (uint32_t)cap_) bit(&bins[(int)v], 0);
+        else bypass_eg0(v - cap_);
+    }
+
+    int64_t flush() {
+        for (int i = 0; i < 5; ++i) shift_low();
+        return overflow ? -1 : pos;
+    }
+};
+
+struct Decoder {
+    const uint8_t* buf;
+    int64_t nbytes;
+    int64_t pos = 0;
+    uint32_t range = 0xFFFFFFFFu;
+    uint32_t code = 0;
+    bool error = false;
+
+    uint8_t next() { return pos < nbytes ? buf[pos++] : 0; }
+
+    void init() {
+        next();                          // leading cache byte (always 0)
+        for (int i = 0; i < 4; ++i) code = (code << 8) | next();
+    }
+
+    int bit(uint16_t* p) {
+        uint32_t split = (range >> kProbBits) * (*p);
+        int b;
+        if (code < split) {
+            b = 0;
+            range = split;
+            *p = (uint16_t)(*p + (((1u << kProbBits) - *p) >> kRate));
+        } else {
+            b = 1;
+            code -= split;
+            range -= split;
+            *p = (uint16_t)(*p - (*p >> kRate));
+        }
+        while (range < kTop) { range <<= 8; code = (code << 8) | next(); }
+        return b;
+    }
+
+    int bypass() {
+        range >>= 1;
+        int b = code >= range;
+        if (b) code -= range;
+        while (range < kTop) { range <<= 8; code = (code << 8) | next(); }
+        return b;
+    }
+
+    uint32_t bypass_eg0() {
+        int zeros = 0;
+        while (bypass() == 0) {
+            if (++zeros > 40) { error = true; return 0; }
+        }
+        uint64_t x = 1;
+        for (int i = 0; i < zeros; ++i) x = (x << 1) | (uint32_t)bypass();
+        return (uint32_t)(x - 1);
+    }
+
+    uint32_t tu(uint16_t* bins, int cap_) {
+        int j = 0;
+        while (j < cap_ && bit(&bins[j])) ++j;
+        if (j < cap_) return (uint32_t)j;
+        return (uint32_t)cap_ + bypass_eg0();
+    }
+};
+
+}  // namespace rc
+
+extern "C" {
+
+// Token-coded int16 stream: (zero_run, nonzero level) pairs, trailing run.
+// Same token structure as vcs_rle_encode_i16 but range-coded with adaptive
+// per-bin contexts; ~1.5-2x denser on quantized-coefficient statistics.
+int64_t vcs_rc_encode_i16(const int16_t* data, int64_t n,
+                          uint8_t* out, int64_t out_cap) {
+    rc::Encoder e{out, out_cap};
+    uint16_t run_bins[rc::kRunCap], lev_bins[rc::kLevCap];
+    for (auto& p : run_bins) p = rc::kProbInit;
+    for (auto& p : lev_bins) p = rc::kProbInit;
+    uint16_t sign_p = rc::kProbInit;
+    int64_t i = 0;
+    while (i < n) {
+        int64_t run = 0;
+        while (i + run < n && data[i + run] == 0) ++run;
+        e.tu(run_bins, rc::kRunCap, (uint32_t)run);
+        i += run;
+        if (i >= n) break;
+        int32_t v = data[i++];
+        e.bit(&sign_p, v < 0);
+        uint32_t m = (uint32_t)(v < 0 ? -v : v) - 1;
+        e.tu(lev_bins, rc::kLevCap, m);
+    }
+    return e.flush();
+}
+
+int64_t vcs_rc_decode_i16(const uint8_t* in, int64_t nbytes,
+                          int16_t* out, int64_t n_out) {
+    rc::Decoder d{in, nbytes};
+    d.init();
+    uint16_t run_bins[rc::kRunCap], lev_bins[rc::kLevCap];
+    for (auto& p : run_bins) p = rc::kProbInit;
+    for (auto& p : lev_bins) p = rc::kProbInit;
+    uint16_t sign_p = rc::kProbInit;
+    int64_t i = 0;
+    while (i < n_out) {
+        uint32_t run = d.tu(run_bins, rc::kRunCap);
+        if (d.error) return -1;
+        for (uint32_t k = 0; k < run && i < n_out; ++k) out[i++] = 0;
+        if (i >= n_out) break;
+        int neg = d.bit(&sign_p);
+        uint32_t m = d.tu(lev_bins, rc::kLevCap);
+        if (d.error) return -1;
+        int32_t v = (int32_t)m + 1;
+        out[i++] = (int16_t)(neg ? -v : v);
+    }
+    return i;
+}
+
+// Multi-symbol stream (intra mode maps, B modes): truncated unary over
+// nsym - 1 adaptive bins, conditioned on the previous symbol (mode maps are
+// strongly spatially correlated).
+int64_t vcs_rc_encode_u8(const uint8_t* data, int64_t n, int32_t nsym,
+                         uint8_t* out, int64_t out_cap) {
+    if (nsym < 2 || nsym > 32) return -2;
+    rc::Encoder e{out, out_cap};
+    const int nb = nsym - 1;
+    uint16_t bins[32][31];
+    for (int c = 0; c < nsym; ++c)
+        for (int j = 0; j < nb; ++j) bins[c][j] = rc::kProbInit;
+    int prev = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        int v = data[i];
+        if (v >= nsym) return -2;
+        uint16_t* b = bins[prev];
+        for (int j = 0; j < v; ++j) e.bit(&b[j], 1);
+        if (v < nb) e.bit(&b[v], 0);
+        prev = v;
+    }
+    return e.flush();
+}
+
+int64_t vcs_rc_decode_u8(const uint8_t* in, int64_t nbytes,
+                         uint8_t* out, int64_t n_out, int32_t nsym) {
+    if (nsym < 2 || nsym > 32) return -2;
+    rc::Decoder d{in, nbytes};
+    d.init();
+    const int nb = nsym - 1;
+    uint16_t bins[32][31];
+    for (int c = 0; c < nsym; ++c)
+        for (int j = 0; j < nb; ++j) bins[c][j] = rc::kProbInit;
+    int prev = 0;
+    for (int64_t i = 0; i < n_out; ++i) {
+        uint16_t* b = bins[prev];
+        int j = 0;
+        while (j < nb && d.bit(&b[j])) ++j;
+        out[i] = (uint8_t)j;
+        prev = j;
+    }
+    return n_out;
+}
+
+}  // extern "C"

@@ -19,12 +19,14 @@ import pytest
 from vcs_h264_tpu.config import CodecConfig
 
 # (video, mode) -> (max bytes/frame, min PSNR dB capped at 99)
-# max bytes = round-2 measurement + 5% headroom; min PSNR = round-2 - 0.3 dB.
+# max bytes = round-3 measurement + 5% headroom; min PSNR = round-3 - 0.3 dB.
+# Round-3 v8 range coder: 19154 / 12748 / 32411 / 21319 B/frame (1.46-1.57x
+# smaller than the round-2 exp-Golomb streams at identical PSNR).
 _PINS = {
-    ("slow_traffic_small.mp4", "production"): (31500, 34.97),
-    ("slow_traffic_small.mp4", "chroma420"): (19500, 34.91),
-    ("cat_short.mp4", "production"): (51800, 35.93),
-    ("cat_short.mp4", "chroma420"): (32900, 36.60),
+    ("slow_traffic_small.mp4", "production"): (20100, 34.97),
+    ("slow_traffic_small.mp4", "chroma420"): (13400, 34.91),
+    ("cat_short.mp4", "production"): (34000, 35.93),
+    ("cat_short.mp4", "chroma420"): (22400, 36.60),
 }
 
 _VIDEOS = "/root/reference/videos"

@@ -41,6 +41,27 @@ def main():
         print(f"ok {b}x{f} {h}x{w}")
     print("pallas kernels (search + compensate) bit-exact on TPU")
 
+    # wavefront intra kernels (MXU formulation, ops/intra_pallas.py)
+    from vcs_h264_tpu.ops import intra as I
+    for (n, h, w) in [(3, 64, 96), (6, 360, 640)]:
+        planes = jnp.asarray(rng.integers(0, 256, (n, h, w)), jnp.int32)
+        got = [np.asarray(x) for x in
+               I.intra_encode4x4_lossy_batch(planes, 24, backend="pallas")]
+        want = [np.asarray(x) for x in
+                I.intra_encode4x4_lossy_batch(planes, 24, backend="xla")]
+        for g, w_ in zip(got, want):
+            assert np.array_equal(g, w_), f"intra enc mismatch {n}x{h}x{w}"
+        q, m, e, _ = want
+        dp = np.asarray(I.intra_decode4x4_lossy_batch(
+            jnp.asarray(q), jnp.asarray(m), jnp.asarray(e), 24,
+            backend="pallas"))
+        dx = np.asarray(I.intra_decode4x4_lossy_batch(
+            jnp.asarray(q), jnp.asarray(m), jnp.asarray(e), 24,
+            backend="xla"))
+        assert np.array_equal(dp, dx), f"intra dec mismatch {n}x{h}x{w}"
+        print(f"ok intra {n}x{h}x{w}")
+    print("pallas wavefront intra kernels bit-exact on TPU")
+
 
 if __name__ == "__main__":
     main()

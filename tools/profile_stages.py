@@ -4,10 +4,15 @@ Each stage is timed as ONE jitted dispatch running N iterations in a
 lax.fori_loop (same technique as bench.py), so the dev tunnel's ~25 ms
 synchronous per-RPC floor does not pollute the numbers. Prints ms per
 64-frame iteration for: motion search, motion compensation, residual
-DCT encode, residual DCT encode+decode, full encode, full encode+decode.
+DCT encode, residual DCT encode+decode, full encode, full encode+decode,
+the wavefront intra stages, and the production/420 end-to-end loops.
 
-Run: python tools/profile_stages.py
+Run: python tools/profile_stages.py [--res 720]  (default 360;
+720 tiles the frames 2x2 to the north-star 1280x720 operating point,
+VERDICT r2 Next #1.)
 """
+
+import argparse
 
 import sys
 import time
@@ -22,6 +27,9 @@ N_ITERS = 16
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, choices=[360, 720], default=360)
+    args = ap.parse_args()
     import os
     import cv2
     import jax
@@ -35,6 +43,7 @@ def main():
     from vcs_h264_tpu.models import pipeline
     from vcs_h264_tpu.ops import motion
 
+    global N_FRAMES, N_ITERS
     cap = cv2.VideoCapture(VIDEO)
     frames = []
     while len(frames) < N_FRAMES:
@@ -45,6 +54,11 @@ def main():
     cap.release()
     cfg = CodecConfig()
     arr = np.stack(frames).transpose(0, 3, 1, 2).astype(np.int32)
+    if args.res == 720:
+        # north-star operating point: 2x2-tiled 1280x720 frames; fewer
+        # frames + iterations to bound device time
+        N_FRAMES, N_ITERS = 32, 4
+        arr = np.tile(arr[:N_FRAMES], (1, 1, 2, 2))
     g = cfg.gop_len
     b = len(frames) // g
     i_b = jnp.asarray(arr[::g][:b])
@@ -93,6 +107,7 @@ def main():
 
     # ---- production / 420 stages ------------------------------------------
     from vcs_h264_tpu.models import intra_codec, pipeline420
+    h420 = (arr.shape[-2] // 16) * 16          # 2*bs multiple for 4:2:0
     QSTEP = 24
     pcfg = CodecConfig.production(intra_qstep=QSTEP)
     ccfg = CodecConfig(quant_mode="rounded", chroma_420=True,
@@ -125,8 +140,8 @@ def main():
         "chroma420_e2e": loop(lambda it, acc: acc + jnp.sum(
             pipeline420.decode_gop_batch_420(
                 pipeline420.encode_gop_batch_420(
-                    i_b[..., :352, :], jnp.roll(p_b, it & 7, axis=-1)
-                    [..., :352, :], ccfg), ccfg))),
+                    i_b[..., :h420, :], jnp.roll(p_b, it & 7, axis=-1)
+                    [..., :h420, :], ccfg), ccfg))),
     })
     for name, fn in stages.items():
         _ = int(fn())      # compile + warm

@@ -24,7 +24,12 @@ def main():
     ap.add_argument("--platform", choices=["default", "cpu"], default="cpu")
     ap.add_argument("--frames", type=int, default=24)
     ap.add_argument("--json", default=None, help="also write rows as JSON")
+    ap.add_argument("--qfs", default=None,
+                    help="comma-separated QF list (default 10,50,90)")
     args = ap.parse_args()
+    if args.qfs:
+        global QFS
+        QFS = [float(q) for q in args.qfs.split(",")]
     if args.platform == "cpu":
         import jax
         jax.config.update("jax_platforms", "cpu")

@@ -34,9 +34,11 @@ _MAGIC = b"VCSH264T"
 # v4 added per-GOP B-frame sections; v5 adds intra_qstep in the header and a
 # per-GOP I-frame type byte (raw / lossless intra / lossy intra); v6 adds the
 # 4:2:0 stream layout (header mode bit 8; per-GOP Y + quarter-res chroma
-# sections); v7 adds B-frame sections to the 4:2:0 layout. Older versions
-# still load.
-_VERSION = 7
+# sections); v7 adds B-frame sections to the 4:2:0 layout; v8 switches every
+# entropy-coded stream from plain exp-Golomb to the adaptive range coder
+# (coefficients/MVs: context-modeled tokens; mode maps: prev-conditioned
+# truncated unary instead of raw int8). Older versions still load.
+_VERSION = 8
 
 # ---------------------------------------------------------------------------
 # native library loading (with build-on-demand) + python fallback
@@ -59,7 +61,9 @@ def load_native() -> Optional[ctypes.CDLL]:
     _LIB_TRIED = True
     so = os.path.join(_native_dir(), "libvcsbits.so")
     try:
-        if not os.path.exists(so):
+        src = os.path.join(_native_dir(), "bitstream.cpp")
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src)):
             subprocess.run(["make", "-C", _native_dir()], check=True,
                            capture_output=True)
         lib = ctypes.CDLL(so)
@@ -71,6 +75,22 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib.vcs_rle_decode_i16.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int16), ctypes.c_int64]
+        lib.vcs_rc_encode_i16.restype = ctypes.c_int64
+        lib.vcs_rc_encode_i16.argtypes = [
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+        lib.vcs_rc_decode_i16.restype = ctypes.c_int64
+        lib.vcs_rc_decode_i16.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int64]
+        lib.vcs_rc_encode_u8.restype = ctypes.c_int64
+        lib.vcs_rc_encode_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+        lib.vcs_rc_decode_u8.restype = ctypes.c_int64
+        lib.vcs_rc_decode_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int32]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -166,6 +186,292 @@ def _py_decode(blob: bytes, n: int) -> np.ndarray:
     return out
 
 
+# ---------------------------------------------------------------------------
+# v8 adaptive range coder — bit-identical Python mirror of the C++ in
+# native/bitstream.cpp (namespace rc). 12-bit probabilities, >>5 adaptation,
+# LZMA-style carry-less renormalization; truncated-unary binarization with
+# per-bin contexts and exp-Golomb0 bypass tails. See the C++ header comment
+# for the design rationale (plain exp-Golomb spent ~9 bits/nonzero; raw int8
+# mode maps were 36% of a production container).
+
+_RC_TOP = 1 << 24
+_RC_PROB_BITS = 12
+_RC_PROB_INIT = 1 << (_RC_PROB_BITS - 1)
+_RC_RATE = 5
+_RC_RUN_CAP = 16
+_RC_LEV_CAP = 16
+
+
+class _RcEncoder:
+    def __init__(self):
+        self.out = bytearray()
+        self.low = 0
+        self.range = 0xFFFFFFFF
+        self.cache = 0
+        self.cache_size = 1
+
+    def _shift_low(self):
+        # exact mirror of the C++: emit on carry-or-settled byte, then
+        # low = (uint32)low << 8
+        if (self.low & 0xFFFFFFFF) < 0xFF000000 or self.low >> 32:
+            carry = self.low >> 32
+            temp = self.cache
+            while True:
+                self.out.append((temp + carry) & 0xFF)
+                temp = 0xFF
+                self.cache_size -= 1
+                if not self.cache_size:
+                    break
+            self.cache = (self.low >> 24) & 0xFF
+        self.cache_size += 1
+        # C++ does low = (uint32)low << 8 — a uint32 shift that drops the
+        # top byte (it lives in `cache` now); mirror the truncation exactly
+        self.low = (self.low & 0xFFFFFF) << 8
+
+    def bit(self, probs, idx, b):
+        split = (self.range >> _RC_PROB_BITS) * probs[idx]
+        if not b:
+            self.range = split
+            probs[idx] += ((1 << _RC_PROB_BITS) - probs[idx]) >> _RC_RATE
+        else:
+            self.low += split
+            self.range -= split
+            probs[idx] -= probs[idx] >> _RC_RATE
+        while self.range < _RC_TOP:
+            self._shift_low()
+            self.range = (self.range << 8) & 0xFFFFFFFF
+
+    def bypass(self, b):
+        self.range >>= 1
+        if b:
+            self.low += self.range
+        while self.range < _RC_TOP:
+            self._shift_low()
+            self.range = (self.range << 8) & 0xFFFFFFFF
+
+    def bypass_eg0(self, v):
+        x = v + 1
+        nbits = x.bit_length() - 1
+        for _ in range(nbits):
+            self.bypass(0)
+        for i in range(nbits, -1, -1):
+            self.bypass((x >> i) & 1)
+
+    def tu(self, probs, cap, v):
+        stop = v if v < cap else cap
+        for j in range(stop):
+            self.bit(probs, j, 1)
+        if v < cap:
+            self.bit(probs, v, 0)
+        else:
+            self.bypass_eg0(v - cap)
+
+    def flush(self) -> bytes:
+        for _ in range(5):
+            self._shift_low()
+        return bytes(self.out)
+
+
+class _RcDecoder:
+    def __init__(self, blob: bytes):
+        self.buf = blob
+        self.pos = 0
+        self.range = 0xFFFFFFFF
+        self.code = 0
+        self._next()                    # leading cache byte (always 0)
+        for _ in range(4):
+            self.code = ((self.code << 8) | self._next()) & 0xFFFFFFFF
+
+    def _next(self) -> int:
+        if self.pos < len(self.buf):
+            b = self.buf[self.pos]
+            self.pos += 1
+            return b
+        return 0
+
+    def bit(self, probs, idx) -> int:
+        split = (self.range >> _RC_PROB_BITS) * probs[idx]
+        if self.code < split:
+            b = 0
+            self.range = split
+            probs[idx] += ((1 << _RC_PROB_BITS) - probs[idx]) >> _RC_RATE
+        else:
+            b = 1
+            self.code -= split
+            self.range -= split
+            probs[idx] -= probs[idx] >> _RC_RATE
+        while self.range < _RC_TOP:
+            self.range = (self.range << 8) & 0xFFFFFFFF
+            self.code = ((self.code << 8) | self._next()) & 0xFFFFFFFF
+        return b
+
+    def bypass(self) -> int:
+        self.range >>= 1
+        b = 1 if self.code >= self.range else 0
+        if b:
+            self.code -= self.range
+        while self.range < _RC_TOP:
+            self.range = (self.range << 8) & 0xFFFFFFFF
+            self.code = ((self.code << 8) | self._next()) & 0xFFFFFFFF
+        return b
+
+    def bypass_eg0(self) -> int:
+        zeros = 0
+        while self.bypass() == 0:
+            zeros += 1
+            if zeros > 40:
+                raise ValueError("bitstream decode error: bad EG0 tail")
+        x = 1
+        for _ in range(zeros):
+            x = (x << 1) | self.bypass()
+        return x - 1
+
+    def tu(self, probs, cap) -> int:
+        j = 0
+        while j < cap and self.bit(probs, j):
+            j += 1
+        if j < cap:
+            return j
+        return cap + self.bypass_eg0()
+
+
+def _py_rc_encode_i16(data: np.ndarray) -> bytes:
+    e = _RcEncoder()
+    run_bins = [_RC_PROB_INIT] * _RC_RUN_CAP
+    lev_bins = [_RC_PROB_INIT] * _RC_LEV_CAP
+    sign = [_RC_PROB_INIT]
+    n = len(data)
+    i = 0
+    while i < n:
+        run = 0
+        while i + run < n and data[i + run] == 0:
+            run += 1
+        e.tu(run_bins, _RC_RUN_CAP, run)
+        i += run
+        if i >= n:
+            break
+        v = int(data[i])
+        i += 1
+        e.bit(sign, 0, 1 if v < 0 else 0)
+        e.tu(lev_bins, _RC_LEV_CAP, abs(v) - 1)
+    return e.flush()
+
+
+def _py_rc_decode_i16(blob: bytes, n: int) -> np.ndarray:
+    d = _RcDecoder(blob)
+    run_bins = [_RC_PROB_INIT] * _RC_RUN_CAP
+    lev_bins = [_RC_PROB_INIT] * _RC_LEV_CAP
+    sign = [_RC_PROB_INIT]
+    out = np.zeros(n, np.int16)
+    i = 0
+    while i < n:
+        run = d.tu(run_bins, _RC_RUN_CAP)
+        i += min(run, n - i)
+        if i >= n:
+            break
+        neg = d.bit(sign, 0)
+        m = d.tu(lev_bins, _RC_LEV_CAP) + 1
+        out[i] = -m if neg else m
+        i += 1
+    return out
+
+
+def _py_rc_encode_u8(data: np.ndarray, nsym: int) -> bytes:
+    e = _RcEncoder()
+    nb = nsym - 1
+    bins = [[_RC_PROB_INIT] * nb for _ in range(nsym)]
+    prev = 0
+    for v in np.asarray(data, np.uint8).ravel():
+        v = int(v)
+        if v >= nsym:
+            raise ValueError(f"symbol {v} out of range for nsym={nsym}")
+        b = bins[prev]
+        for j in range(v):
+            e.bit(b, j, 1)
+        if v < nb:
+            e.bit(b, v, 0)
+        prev = v
+    return e.flush()
+
+
+def _py_rc_decode_u8(blob: bytes, n: int, nsym: int) -> np.ndarray:
+    d = _RcDecoder(blob)
+    nb = nsym - 1
+    bins = [[_RC_PROB_INIT] * nb for _ in range(nsym)]
+    out = np.empty(n, np.uint8)
+    prev = 0
+    for i in range(n):
+        b = bins[prev]
+        j = 0
+        while j < nb and d.bit(b, j):
+            j += 1
+        out[i] = j
+        prev = j
+    return out
+
+
+def rc_encode(data: np.ndarray) -> bytes:
+    """int16 array -> range-coded bytes (v8 streams)."""
+    data = np.ascontiguousarray(data, dtype=np.int16).ravel()
+    lib = load_native()
+    if lib is None or not hasattr(lib, "vcs_rc_encode_i16"):
+        return _py_rc_encode_i16(data)
+    cap = 8 * len(data) + 16
+    out = np.empty(cap, np.uint8)
+    nbytes = lib.vcs_rc_encode_i16(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if nbytes < 0:
+        raise ValueError("bitstream encode overflow")
+    return out[:nbytes].tobytes()
+
+
+def rc_decode(blob: bytes, n: int) -> np.ndarray:
+    """range-coded bytes -> int16 array of length n."""
+    lib = load_native()
+    if lib is None or not hasattr(lib, "vcs_rc_decode_i16"):
+        return _py_rc_decode_i16(blob, n)
+    inp = np.frombuffer(blob, np.uint8)
+    out = np.empty(n, np.int16)
+    got = lib.vcs_rc_decode_i16(
+        inp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(inp),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n)
+    if got != n:
+        raise ValueError(f"bitstream decode error: {got} != {n}")
+    return out
+
+
+def rc_encode_u8(data: np.ndarray, nsym: int) -> bytes:
+    """uint8 symbol array (values < nsym) -> range-coded bytes (mode maps:
+    prev-symbol-conditioned truncated-unary contexts)."""
+    data = np.ascontiguousarray(data, dtype=np.uint8).ravel()
+    lib = load_native()
+    if lib is None or not hasattr(lib, "vcs_rc_encode_u8"):
+        return _py_rc_encode_u8(data, nsym)
+    cap = 2 * len(data) + 16
+    out = np.empty(cap, np.uint8)
+    nbytes = lib.vcs_rc_encode_u8(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        nsym, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if nbytes < 0:
+        raise ValueError("bitstream encode error")
+    return out[:nbytes].tobytes()
+
+
+def rc_decode_u8(blob: bytes, n: int, nsym: int) -> np.ndarray:
+    lib = load_native()
+    if lib is None or not hasattr(lib, "vcs_rc_decode_u8"):
+        return _py_rc_decode_u8(blob, n, nsym)
+    inp = np.frombuffer(blob, np.uint8)
+    out = np.empty(n, np.uint8)
+    got = lib.vcs_rc_decode_u8(
+        inp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(inp),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, nsym)
+    if got != n:
+        raise ValueError(f"bitstream decode error: {got} != {n}")
+    return out
+
+
 def rle_encode(data: np.ndarray) -> bytes:
     """int16 array -> entropy-coded bytes."""
     data = np.ascontiguousarray(data, dtype=np.int16).ravel()
@@ -221,24 +527,43 @@ def _unzigzag_plane(flat: np.ndarray, shape, bs: int) -> np.ndarray:
     return x.reshape(*lead, h, w)
 
 
+def _stream_codecs(version: int):
+    """(encode_i16, decode_i16) for a container version: v8+ streams are
+    range-coded, older ones plain exp-Golomb. Writers always emit
+    _VERSION."""
+    if version >= 8:
+        return rc_encode, rc_decode
+    return rle_encode, rle_decode
+
+
+def _decode_modes(blob: bytes, n: int, nsym: int, version: int) -> np.ndarray:
+    """Mode-map stream: v8+ range-coded symbols, older raw int8 bytes."""
+    if version >= 8:
+        return rc_decode_u8(blob, n, nsym).astype(np.int8)
+    return np.frombuffer(blob, np.int8)
+
+
 def _write_intra_payload(fh, qcoef, modes, escape) -> None:
-    """One lossy-intra payload section: zigzag4+RLE coeffs, raw modes,
-    RLE escape."""
-    q_blob = rle_encode(_zigzag_plane(np.asarray(qcoef, np.int16), 4))
-    modes_b = np.asarray(modes, np.int8).tobytes()
-    esc = rle_encode(np.asarray(escape).astype(np.int16).ravel())
+    """One lossy-intra payload section: zigzag4 range-coded coeffs,
+    range-coded 9-symbol modes, range-coded escape."""
+    q_blob = rc_encode(_zigzag_plane(np.asarray(qcoef, np.int16), 4))
+    modes_b = rc_encode_u8(np.asarray(modes, np.uint8), 9)
+    esc = rc_encode(np.asarray(escape).astype(np.int16).ravel())
     fh.write(struct.pack("<QQQ", len(q_blob), len(modes_b), len(esc)))
     fh.write(q_blob); fh.write(modes_b); fh.write(esc)
 
 
-def _read_intra_payload(fh, shape):
+def _read_intra_payload(fh, shape, version):
     """Inverse of _write_intra_payload for a [C, H, W] plane stack."""
+    _, dec = _stream_codecs(version)
     c, ih, iw = shape
     ql, ml, el = struct.unpack("<QQQ", fh.read(24))
-    iq = _unzigzag_plane(rle_decode(fh.read(ql), c * ih * iw),
+    iq = _unzigzag_plane(dec(fh.read(ql), c * ih * iw),
                          (c, ih, iw), 4).astype(np.int16)
-    imodes = np.frombuffer(fh.read(ml), np.int8).reshape(c, ih // 4, iw // 4)
-    iesc = rle_decode(fh.read(el), c * (ih // 4) * (iw // 4))
+    nm = c * (ih // 4) * (iw // 4)
+    imodes = _decode_modes(fh.read(ml), nm, 9, version).reshape(
+        c, ih // 4, iw // 4)
+    iesc = dec(fh.read(el), nm)
     return iq, imodes, iesc.reshape(c, ih // 4, iw // 4).astype(bool)
 
 
@@ -259,10 +584,10 @@ def _save_vcs_420(video: EncodedVideo, fh) -> None:
             for planes in (np.asarray(gop.i_y, np.int32)[None],
                            np.asarray(gop.i_c, np.int32)):
                 intra = encode_intra_frame(planes)
-                res_blob = rle_encode(np.asarray(intra.residual).ravel())
-                modes_b = np.asarray(intra.modes, np.int8).tobytes()
-                esc = rle_encode(np.asarray(intra.escape).astype(np.int16)
-                                 .ravel())
+                res_blob = rc_encode(np.asarray(intra.residual).ravel())
+                modes_b = rc_encode_u8(np.asarray(intra.modes, np.uint8), 9)
+                esc = rc_encode(np.asarray(intra.escape).astype(np.int16)
+                                .ravel())
                 fh.write(struct.pack("<QQQ", len(res_blob), len(modes_b),
                                      len(esc)))
                 fh.write(res_blob); fh.write(modes_b); fh.write(esc)
@@ -271,7 +596,7 @@ def _save_vcs_420(video: EncodedVideo, fh) -> None:
             fh.write(np.asarray(gop.i_y, np.uint8).tobytes())
             fh.write(np.asarray(gop.i_c, np.uint8).tobytes())
         fh.write(struct.pack("<I", gop.mv.shape[0]))
-        mv_blob = rle_encode(np.asarray(gop.mv, np.int16).ravel())
+        mv_blob = rc_encode(np.asarray(gop.mv, np.int16).ravel())
         fh.write(struct.pack("<Q", len(mv_blob)))
         fh.write(mv_blob)
 
@@ -279,7 +604,7 @@ def _save_vcs_420(video: EncodedVideo, fh) -> None:
             if res is None:
                 fh.write(struct.pack("<Q", 0))
                 return
-            blob = rle_encode(_zigzag_plane(np.asarray(res, np.int16), bs))
+            blob = rc_encode(_zigzag_plane(np.asarray(res, np.int16), bs))
             fh.write(struct.pack("<Q", len(blob)))
             fh.write(blob)
 
@@ -289,8 +614,8 @@ def _save_vcs_420(video: EncodedVideo, fh) -> None:
         n_b = 0 if gop.b_mv is None else gop.b_mv.shape[0]
         fh.write(struct.pack("<I", n_b))
         if n_b:
-            bmv_blob = rle_encode(np.asarray(gop.b_mv, np.int16).ravel())
-            mode_b = np.asarray(gop.b_mode, np.int8).tobytes()
+            bmv_blob = rc_encode(np.asarray(gop.b_mv, np.int16).ravel())
+            mode_b = rc_encode_u8(np.asarray(gop.b_mode, np.uint8), 3)
             fh.write(struct.pack("<QQ", len(bmv_blob), len(mode_b)))
             fh.write(bmv_blob); fh.write(mode_b)
             put_res(gop.bres_y)
@@ -304,6 +629,7 @@ def _load_vcs_420(fh, cfg: CodecConfig, n_gops: int, bs: int,
     from vcs_h264_tpu.models.intra_codec import (IntraFrame,
                                                  decode_intra_frame)
     import jax.numpy as jnp
+    _, dec = _stream_codecs(version)
     gops = []
     for _ in range(n_gops):
         h, w = struct.unpack("<II", fh.read(8))
@@ -314,17 +640,18 @@ def _load_vcs_420(fh, cfg: CodecConfig, n_gops: int, bs: int,
         iq = im = ie = iqc = imc = iec = None
         i_y = i_c = None
         if itype == 2:
-            iq, im, ie = _read_intra_payload(fh, (1, h, w))
-            iqc, imc, iec = _read_intra_payload(fh, (2, hc, wc))
+            iq, im, ie = _read_intra_payload(fh, (1, h, w), version)
+            iqc, imc, iec = _read_intra_payload(fh, (2, hc, wc), version)
         elif itype == 1:
             planes = []
             for shape in ((1, h, w), (2, hc, wc)):
                 c, ih, iw = shape
                 rl, ml, el = struct.unpack("<QQQ", fh.read(24))
-                res = rle_decode(fh.read(rl), c * ih * iw).reshape(shape)
-                modes = np.frombuffer(fh.read(ml), np.int8).reshape(
-                    c, ih // 4, iw // 4)
-                esc = rle_decode(fh.read(el), c * (ih // 4) * (iw // 4))
+                res = dec(fh.read(rl), c * ih * iw).reshape(shape)
+                modes = _decode_modes(
+                    fh.read(ml), c * (ih // 4) * (iw // 4), 9,
+                    version).reshape(c, ih // 4, iw // 4)
+                esc = dec(fh.read(el), c * (ih // 4) * (iw // 4))
                 esc = esc.reshape(c, ih // 4, iw // 4).astype(bool)
                 planes.append(np.asarray(decode_intra_frame(IntraFrame(
                     jnp.asarray(res), jnp.asarray(modes),
@@ -338,13 +665,13 @@ def _load_vcs_420(fh, cfg: CodecConfig, n_gops: int, bs: int,
         (n_p,) = struct.unpack("<I", fh.read(4))
         (mv_len,) = struct.unpack("<Q", fh.read(8))
         nbh, nbw = h // bs, w // bs
-        mv = rle_decode(fh.read(mv_len), n_p * nbh * nbw * 2)
+        mv = dec(fh.read(mv_len), n_p * nbh * nbw * 2)
         mv = mv.reshape(n_p, nbh, nbw, 2).astype(np.int32)
         def get_res(shape):
             (blob_len,) = struct.unpack("<Q", fh.read(8))
             if blob_len == 0:
                 return None
-            flat = rle_decode(fh.read(blob_len), int(np.prod(shape)))
+            flat = dec(fh.read(blob_len), int(np.prod(shape)))
             return _unzigzag_plane(flat, shape, bs).astype(np.int16)
 
         res_y = get_res((n_p, h, w))
@@ -354,10 +681,10 @@ def _load_vcs_420(fh, cfg: CodecConfig, n_gops: int, bs: int,
             (n_b,) = struct.unpack("<I", fh.read(4))
             if n_b:
                 bl, ml = struct.unpack("<QQ", fh.read(16))
-                b_mv = rle_decode(fh.read(bl), n_b * 2 * nbh * nbw * 2)
+                b_mv = dec(fh.read(bl), n_b * 2 * nbh * nbw * 2)
                 b_mv = b_mv.reshape(n_b, 2, nbh, nbw, 2).astype(np.int32)
-                b_mode = np.frombuffer(fh.read(ml), np.int8)
-                b_mode = b_mode.reshape(n_b, nbh, nbw)
+                b_mode = _decode_modes(fh.read(ml), n_b * nbh * nbw, 3,
+                                       version).reshape(n_b, nbh, nbw)
                 bres_y = get_res((n_b, h, w))
                 bres_c = get_res((n_b, 2, hc, wc))
         gop = EncodedGOP420(i_y=i_y, i_c=i_c, mv=mv,
@@ -419,22 +746,16 @@ def save_vcs(video: EncodedVideo, path: str) -> None:
             # 1 = lossless intra, 0 = raw planes.
             if gop.i_qcoef is not None and cfg.intra_qstep:
                 fh.write(struct.pack("<B", 2))
-                q_blob = rle_encode(_zigzag_plane(
-                    np.asarray(gop.i_qcoef, np.int16), 4))
-                modes_b = np.asarray(gop.i_modes, np.int8).tobytes()
-                esc = rle_encode(np.asarray(gop.i_escape).astype(np.int16)
-                                 .ravel())
-                fh.write(struct.pack("<QQQ", len(q_blob), len(modes_b),
-                                     len(esc)))
-                fh.write(q_blob); fh.write(modes_b); fh.write(esc)
+                _write_intra_payload(fh, gop.i_qcoef, gop.i_modes,
+                                     gop.i_escape)
             elif cfg.intra_i:
                 fh.write(struct.pack("<B", 1))
                 from vcs_h264_tpu.models.intra_codec import encode_intra_frame
                 intra = encode_intra_frame(i_frame.astype(np.int32))
-                res_blob = rle_encode(np.asarray(intra.residual).ravel())
-                modes_b = np.asarray(intra.modes, np.int8).tobytes()
-                esc = rle_encode(np.asarray(intra.escape).astype(np.int16)
-                                 .ravel())
+                res_blob = rc_encode(np.asarray(intra.residual).ravel())
+                modes_b = rc_encode_u8(np.asarray(intra.modes, np.uint8), 9)
+                esc = rc_encode(np.asarray(intra.escape).astype(np.int16)
+                                .ravel())
                 fh.write(struct.pack("<QQQ", len(res_blob), len(modes_b),
                                      len(esc)))
                 fh.write(res_blob); fh.write(modes_b); fh.write(esc)
@@ -442,7 +763,7 @@ def save_vcs(video: EncodedVideo, path: str) -> None:
                 fh.write(struct.pack("<B", 0))
                 fh.write(i_frame.tobytes())
             fh.write(struct.pack("<I", mv.shape[0]))
-            mv_blob = rle_encode(mv.ravel())
+            mv_blob = rc_encode(mv.ravel())
             fh.write(struct.pack("<Q", len(mv_blob)))
             fh.write(mv_blob)
 
@@ -452,13 +773,13 @@ def save_vcs(video: EncodedVideo, path: str) -> None:
                 res = np.asarray(res)
                 if cfg.with_dct:
                     res16 = np.round(res).astype(np.int16)
-                    return rle_encode(_zigzag_plane(res16, bs))
+                    return rc_encode(_zigzag_plane(res16, bs))
                 # wrap residuals are bytes; recenter to int16 around 0 for
                 # short codes (values cluster at 0 and 255)
                 res16 = res.astype(np.int16)
                 res16 = np.where(res16 > 127, res16 - 256,
                                  res16).astype(np.int16)
-                return rle_encode(res16.ravel())
+                return rc_encode(res16.ravel())
 
             blob = res_blob(gop.residuals)
             fh.write(struct.pack("<Q", len(blob)))
@@ -467,9 +788,9 @@ def save_vcs(video: EncodedVideo, path: str) -> None:
             n_b = 0 if gop.b_mv is None else gop.b_mv.shape[0]
             fh.write(struct.pack("<I", n_b))
             if n_b:
-                bmv_blob = rle_encode(
+                bmv_blob = rc_encode(
                     np.asarray(gop.b_mv, np.int16).ravel())
-                mode_b = np.asarray(gop.b_mode, np.int8).tobytes()
+                mode_b = rc_encode_u8(np.asarray(gop.b_mode, np.uint8), 3)
                 fh.write(struct.pack("<QQ", len(bmv_blob), len(mode_b)))
                 fh.write(bmv_blob); fh.write(mode_b)
                 bres = res_blob(gop.b_residuals)
@@ -508,7 +829,7 @@ def load_vcs(path: str) -> EncodedVideo:
             raise ValueError("not a .vcs file")
         (version, h, w, fps, num_frames, bs, qf, n_gops,
          mode) = struct.unpack("<IIIdIIdII", fh.read(44))
-        if version not in (3, 4, 5, 6, _VERSION):
+        if version not in (3, 4, 5, 6, 7, _VERSION):
             raise ValueError(f"unsupported version {version}")
         if not (1 <= h <= 16384 and 1 <= w <= 16384):
             raise ValueError(f".vcs: implausible dimensions {h}x{w}")
@@ -537,6 +858,7 @@ def load_vcs(path: str) -> EncodedVideo:
                 config=cfg, height=h, width=w, fps=fps,
                 num_frames=num_frames,
                 gops=_load_vcs_420(fh, cfg, n_gops, bs, version))
+        _, dec = _stream_codecs(version)
         gops = []
         for _ in range(n_gops):
             c, ih, iw = struct.unpack("<III", fh.read(12))
@@ -552,14 +874,8 @@ def load_vcs(path: str) -> EncodedVideo:
                 from vcs_h264_tpu.models.intra_codec import (
                     IntraFrameLossy, decode_intra_frame_lossy)
                 import jax.numpy as jnp
-                ql, ml, el = struct.unpack("<QQQ", fh.read(24))
-                iq = _unzigzag_plane(
-                    rle_decode(fh.read(ql), c * ih * iw),
-                    (c, ih, iw), 4).astype(np.int16)
-                imodes = np.frombuffer(fh.read(ml), np.int8)
-                imodes = imodes.reshape(c, ih // 4, iw // 4)
-                iesc = rle_decode(fh.read(el), c * (ih // 4) * (iw // 4))
-                iesc = iesc.reshape(c, ih // 4, iw // 4).astype(bool)
+                iq, imodes, iesc = _read_intra_payload(
+                    fh, (c, ih, iw), version)
                 i_frame = np.asarray(decode_intra_frame_lossy(
                     IntraFrameLossy(jnp.asarray(iq), jnp.asarray(imodes),
                                     jnp.asarray(iesc)),
@@ -569,11 +885,12 @@ def load_vcs(path: str) -> EncodedVideo:
                                                              decode_intra_frame)
                 import jax.numpy as jnp
                 rl, ml, el = struct.unpack("<QQQ", fh.read(24))
-                res = rle_decode(fh.read(rl), c * ih * iw)
+                res = dec(fh.read(rl), c * ih * iw)
                 res = res.reshape(c, ih, iw)
-                modes = np.frombuffer(fh.read(ml), np.int8)
+                modes = _decode_modes(fh.read(ml), c * (ih // 4) * (iw // 4),
+                                      9, version)
                 modes = modes.reshape(c, ih // 4, iw // 4)
-                esc = rle_decode(fh.read(el), c * (ih // 4) * (iw // 4))
+                esc = dec(fh.read(el), c * (ih // 4) * (iw // 4))
                 esc = esc.reshape(c, ih // 4, iw // 4).astype(bool)
                 i_frame = np.asarray(decode_intra_frame(IntraFrame(
                     jnp.asarray(res), jnp.asarray(modes),
@@ -584,7 +901,7 @@ def load_vcs(path: str) -> EncodedVideo:
             (n_p,) = struct.unpack("<I", fh.read(4))
             (mv_len,) = struct.unpack("<Q", fh.read(8))
             nbh, nbw = ih // bs, iw // bs
-            mv = rle_decode(fh.read(mv_len), n_p * nbh * nbw * 2)
+            mv = dec(fh.read(mv_len), n_p * nbh * nbw * 2)
             mv = mv.reshape(n_p, nbh, nbw, 2).astype(np.int32)
             def read_res(n_f):
                 (blob_len,) = struct.unpack("<Q", fh.read(8))
@@ -592,10 +909,10 @@ def load_vcs(path: str) -> EncodedVideo:
                     return None
                 blob = fh.read(blob_len)
                 if mode == 2:
-                    flat = rle_decode(blob, n_f * c * ih * iw)
+                    flat = dec(blob, n_f * c * ih * iw)
                     return _unzigzag_plane(
                         flat, (n_f, c, ih, iw), bs).astype(np.int16)
-                flat = rle_decode(blob, n_f * c * ih * iw).astype(np.int32)
+                flat = dec(blob, n_f * c * ih * iw).astype(np.int32)
                 return (flat & 255).reshape(n_f, c, ih, iw)
 
             res = read_res(n_p)
@@ -604,10 +921,10 @@ def load_vcs(path: str) -> EncodedVideo:
                 (n_b,) = struct.unpack("<I", fh.read(4))
                 if n_b:
                     bl, ml = struct.unpack("<QQ", fh.read(16))
-                    b_mv = rle_decode(fh.read(bl), n_b * 2 * nbh * nbw * 2)
+                    b_mv = dec(fh.read(bl), n_b * 2 * nbh * nbw * 2)
                     b_mv = b_mv.reshape(n_b, 2, nbh, nbw, 2).astype(np.int32)
-                    b_mode = np.frombuffer(fh.read(ml), np.int8)
-                    b_mode = b_mode.reshape(n_b, nbh, nbw)
+                    b_mode = _decode_modes(fh.read(ml), n_b * nbh * nbw, 3,
+                                           version).reshape(n_b, nbh, nbw)
                     b_res = read_res(n_b)
             gops.append(EncodedGOP(i_frame=i_frame, mv=mv, residuals=res,
                                    b_mv=b_mv, b_mode=b_mode,

@@ -642,9 +642,36 @@ def _wavefront_reconstruct_batch(res_blocks, modes, escape, nbh: int,
     return _pm_blocks_of_lanes(rec_l, plan)
 
 
-@functools.partial(jax.jit)
+def _use_pallas_wavefront(backend: str) -> bool:
+    """The Pallas wavefront kernels replace the lax.scan on TPU (the scan
+    pays ~100x the useful VPU work in per-diagonal overhead at 720p); the
+    scan remains the portable path (CPU tests, virtual meshes)."""
+    return backend == "pallas" or (backend == "auto"
+                                   and jax.default_backend() == "tpu")
+
+
+def _decode_lanes_dispatch(res_blocks, modes, escape, nbh, nbw, clip,
+                           qstep, backend):
+    """Shared decode driver: res_blocks [4,4,N,nb] (quantized coefficients
+    when qstep > 0, exact residuals otherwise) -> reconstructed blocks."""
+    if not _use_pallas_wavefront(backend):
+        if qstep:
+            res_blocks = core4_dequant_inv_pm(res_blocks, qstep)
+        return _wavefront_reconstruct_batch(res_blocks, modes, escape,
+                                            nbh, nbw, clip=clip)
+    from vcs_h264_tpu.ops import intra_pallas
+    plan = _wavefront_plan(nbh, nbw)
+    out_l = intra_pallas.decode_lanes(
+        _pm_lanes_of_blocks(res_blocks, plan),
+        _pm_lanes_of_scalars(modes, plan),
+        _pm_lanes_of_scalars(escape, plan), plan, qstep, clip)
+    return _pm_blocks_of_lanes(out_l, plan)
+
+
+@functools.partial(jax.jit, static_argnames=("backend",))
 def intra_decode4x4_batch(residual: jnp.ndarray, modes: jnp.ndarray,
-                          escape: jnp.ndarray) -> jnp.ndarray:
+                          escape: jnp.ndarray,
+                          backend: str = "auto") -> jnp.ndarray:
     """Batched wavefront intra decoder (new capability — the reference has
     no intra decoder at all; its study only plots pred+residual).
 
@@ -654,9 +681,9 @@ def intra_decode4x4_batch(residual: jnp.ndarray, modes: jnp.ndarray,
     bit-exactly."""
     n, h, w = residual.shape
     nbh, nbw = h // 4, w // 4
-    out = _wavefront_reconstruct_batch(
+    out = _decode_lanes_dispatch(
         _pm_blocks_of_planes(residual), modes.reshape(n, -1).astype(jnp.int32),
-        escape.reshape(n, -1), nbh, nbw, clip=False)
+        escape.reshape(n, -1), nbh, nbw, clip=False, qstep=0, backend=backend)
     return _pm_planes_of_blocks(out, h, w)
 
 
@@ -745,9 +772,12 @@ def core4_fwd_pm(blocks: jnp.ndarray) -> jnp.ndarray:
 
 
 def core4_quant_pm(coef: jnp.ndarray, qstep: int) -> jnp.ndarray:
-    gn = jnp.asarray(_G4X400, jnp.int32).reshape(
-        4, 4, *([1] * (coef.ndim - 2)))
-    return _iround_div(coef * gn, 400 * qstep)
+    # the [4,4] norm table enters as Python scalars per position (not a
+    # jnp constant array) so the same code runs inside Pallas kernels
+    return jnp.stack([
+        jnp.stack([_iround_div(coef[i, j] * _G4X400[i][j], 400 * qstep)
+                   for j in range(4)], axis=0)
+        for i in range(4)], axis=0)
 
 
 def core4_dequant_inv_pm(q: jnp.ndarray, qstep: int) -> jnp.ndarray:
@@ -755,8 +785,9 @@ def core4_dequant_inv_pm(q: jnp.ndarray, qstep: int) -> jnp.ndarray:
     return _iround_div(_core4_both_pm(_CI4X2, q * jnp.int32(qstep)), 4)
 
 
-@functools.partial(jax.jit, static_argnames=("qstep",))
-def intra_encode4x4_lossy_batch(planes: jnp.ndarray, qstep: int):
+@functools.partial(jax.jit, static_argnames=("qstep", "backend"))
+def intra_encode4x4_lossy_batch(planes: jnp.ndarray, qstep: int,
+                                backend: str = "auto"):
     """Closed-loop lossy intra encode of a batch of planes.
 
     planes: int32 [N, H, W] (uint8 values), dims multiples of 4.
@@ -773,6 +804,15 @@ def intra_encode4x4_lossy_batch(planes: jnp.ndarray, qstep: int):
     xs = _lane_xs(plan)
     L = plan["L"]
     orig_l = _pm_lanes_of_blocks(_pm_blocks_of_planes(planes), plan)
+
+    if _use_pallas_wavefront(backend):
+        from vcs_h264_tpu.ops import intra_pallas
+        q_l, mode_l, esc_l, rec_l = intra_pallas.encode_lossy_lanes(
+            orig_l, plan, qstep)
+        return (_pm_planes_of_blocks(_pm_blocks_of_lanes(q_l, plan), h, w),
+                _pm_scalars_of_lanes(mode_l, plan).reshape(n, nbh, nbw),
+                _pm_scalars_of_lanes(esc_l, plan).reshape(n, nbh, nbw),
+                _pm_planes_of_blocks(_pm_blocks_of_lanes(rec_l, plan), h, w))
 
     def body(carry, step):
         xs_t, oblk = step                                 # oblk [4, 4, N, L]
@@ -807,19 +847,19 @@ def intra_encode4x4_lossy(y: jnp.ndarray, qstep: int):
     return q[0], modes[0], escape[0], recon[0]
 
 
-@functools.partial(jax.jit, static_argnames=("qstep",))
+@functools.partial(jax.jit, static_argnames=("qstep", "backend"))
 def intra_decode4x4_lossy_batch(qcoef: jnp.ndarray, modes: jnp.ndarray,
-                                escape: jnp.ndarray,
-                                qstep: int) -> jnp.ndarray:
+                                escape: jnp.ndarray, qstep: int,
+                                backend: str = "auto") -> jnp.ndarray:
     """Batched wavefront decode, bit-exact inverse of the encoder's recon.
 
     qcoef [N, H, W], modes/escape [N, nbh, nbw] -> [N, H, W] int32."""
     n, h, w = qcoef.shape
     nbh, nbw = h // 4, w // 4
-    res_hat = core4_dequant_inv_pm(_pm_blocks_of_planes(qcoef), qstep)
-    out = _wavefront_reconstruct_batch(
-        res_hat, modes.reshape(n, -1).astype(jnp.int32),
-        escape.reshape(n, -1), nbh, nbw, clip=True)
+    out = _decode_lanes_dispatch(
+        _pm_blocks_of_planes(qcoef), modes.reshape(n, -1).astype(jnp.int32),
+        escape.reshape(n, -1), nbh, nbw, clip=True, qstep=qstep,
+        backend=backend)
     return _pm_planes_of_blocks(out, h, w)
 
 

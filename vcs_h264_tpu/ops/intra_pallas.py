@@ -1,0 +1,430 @@
+"""Pallas TPU kernels for the wavefront intra scans — MXU formulation.
+
+The XLA lax.scan formulation (ops/intra.py) pays a fixed per-diagonal
+overhead that dominates at large frames (~264 us/diagonal at 720p); a first
+Pallas port that transcribed the same elementwise predictor formulas was no
+faster (~95 us/diagonal at 360p) because the body issues ~1500 tiny VPU ops
+per step — issue-bound, not compute-bound. This version collapses the body
+onto the MXU:
+
+  * every H.264 4x4 predictor value is a sum of at most three per-term
+    floor-divided neighbor values (e.g. `u[0]//4 + u[1]//2 + u[2]//4`,
+    intramodes.py) — so all 9 modes x 16 positions are ONE matmul
+    S [144, 41] @ features [41, B] where the features are the 13 neighbor
+    pixels (u0-3, l0-3, ul, ur0-3), their >>1 and >>2 (values are
+    non-negative, so shifts ARE the reference's floor divisions), and the
+    two wrap-corrected `3*x//4` terms. 0/1 matrix entries and values <= 765
+    make the f32 MXU product exact. The DC mode (mod-256 wrap + //8) is
+    computed on the VPU and overlaid on its 16 rows.
+  * the 4x4 integer core transform is linear: vec(Cf X Cf^T) =
+    kron(Cf, Cf) @ vec(X) — a [16, 16] f32 matmul, exact (|entries| <= 4,
+    intermediate sums < 2^24); same for the inverse with kron(2Ci, 2Ci).
+  * grid = (T,): one sequential step per anti-diagonal, slim carry (bottom
+    row / right column / corners of the last three diagonals) in VMEM
+    scratch, per-step inputs/outputs streamed by BlockSpec index maps.
+  * layout: all per-step tensors are [rows, B] with B = N*L (plane batch x
+    wavefront lanes) fused into the minor axis — every op is lane-dense.
+
+Semantics are bit-identical to ops/intra.py's scan (same integer formulas,
+128 fills, ur fallback, strict-< first-min mode selection, escape rule);
+asserted in tests/test_intra_pallas.py (interpret mode) and on hardware by
+tools/check_pallas_tpu.py.
+
+Reference parity lineage: the predictors realize
+`IntraframeCompression/intramodes.py`; the closed-loop 4x4 integer core
+transform realizes the commented-out intent of `intraframe.py:14-22,352-358`
+(SURVEY.md C9/C10).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vcs_h264_tpu.ops.intra import _CF4, _CI4X2, _G4X400, _iround_div
+
+# feature indices: 13 neighbors raw, then >>1, then >>2, then the two
+# wrap-corrected 3*x//4 terms
+_NB = 13                               # u0-3, l0-3, ul, ur0-3
+_U0, _L0, _UL, _UR0 = 0, 4, 8, 9
+_NFEAT = 3 * _NB + 2
+_W3UR3, _W3L3 = 3 * _NB, 3 * _NB + 1
+_NMODE, _NPOS = 9, 16
+_DC_MODE = 2
+
+
+def _raw(i):
+    return i
+
+
+def _half(i):
+    return _NB + i
+
+
+def _quar(i):
+    return 2 * _NB + i
+
+
+@functools.lru_cache(maxsize=None)
+def _selection_matrix() -> np.ndarray:
+    """[9*16, 41] 0/1 matrix: row (mode*16 + r*4 + c) sums the features of
+    that predictor position. DC rows are zero (overlaid in-kernel)."""
+    s = np.zeros((_NMODE * _NPOS, _NFEAT), np.float32)
+
+    def put(mode, grid):
+        for r in range(4):
+            for c in range(4):
+                for f in grid[r][c]:
+                    s[mode * 16 + r * 4 + c, f] += 1.0
+
+    u = [_U0 + i for i in range(4)]
+    l = [_L0 + i for i in range(4)]
+    ul = _UL
+    ur = [_UR0 + i for i in range(4)]
+
+    # mode 0 vertical / mode 1 horizontal (intramodes.py:7,13)
+    put(0, [[[_raw(u[c])] for c in range(4)] for _ in range(4)])
+    put(1, [[[_raw(l[r])] for _ in range(4)] for r in range(4)])
+    # mode 2 dc: overlaid in-kernel (wrap + //8 is not per-term linear)
+
+    # mode 3 downleft (intramodes.py:25): e = u0-3, ur0-3
+    e = u + ur
+    t = [[_quar(e[s_]), _half(e[s_ + 1]), _quar(e[s_ + 2])] for s_ in range(6)]
+    t.append([_quar(e[6]), _W3UR3])
+    put(3, [[t[r + c] for c in range(4)] for r in range(4)])
+
+    # mode 4 downright (intramodes.py:45)
+    d = {
+        3: [_quar(u[1]), _half(u[2]), _quar(u[3])],
+        2: [_quar(u[0]), _half(u[1]), _quar(u[2])],
+        1: [_quar(ul), _half(u[0]), _quar(u[1])],
+        0: [_quar(ul), _half(u[0]), _quar(l[0])],
+        -1: [_quar(u[0]), _half(l[0]), _quar(l[1])],
+        -2: [_quar(l[0]), _half(l[1]), _quar(l[2])],
+        -3: [_quar(l[1]), _half(l[2]), _quar(l[3])],
+    }
+    put(4, [[d[c - r] for c in range(4)] for r in range(4)])
+
+    # mode 5 verticalright (intramodes.py:65)
+    a = [[_half(ul), _half(u[0])], [_half(u[0]), _half(u[1])],
+         [_half(u[1]), _half(u[2])], [_half(u[2]), _half(u[3])]]
+    b = [[_quar(u[0]), _half(ul), _quar(l[0])],
+         [_quar(ul), _half(u[0]), _quar(u[1])],
+         [_quar(u[0]), _half(u[1]), _quar(u[2])],
+         [_quar(u[1]), _half(u[2]), _quar(u[3])]]
+    c0 = [_quar(ul), _half(l[0]), _quar(l[1])]
+    d0 = [_quar(l[0]), _half(l[1]), _quar(l[2])]
+    put(5, [a, b, [c0, a[0], a[1], a[2]], [d0, b[0], b[1], b[2]]])
+
+    # mode 6 horizontaldown (intramodes.py:85)
+    a = [[_half(ul), _half(l[0])],
+         [_quar(u[0]), _half(ul), _quar(l[0])],
+         [_quar(ul), _half(u[0]), _quar(u[1])],
+         [_quar(u[0]), _half(u[1]), _quar(u[2])]]
+    b0 = [_half(l[0]), _half(l[1])]
+    b1 = [_quar(ul), _half(l[1]), _quar(l[2])]
+    c0_ = [_half(l[1]), _half(l[2])]
+    c1 = [_quar(l[0]), _half(l[1]), _quar(l[2])]
+    d0_ = [_half(l[2]), _half(l[3])]
+    d1 = [_quar(l[1]), _half(l[2]), _quar(l[3])]
+    put(6, [a, [b0, b1, a[0], a[1]], [c0_, c1, b0, b1],
+            [d0_, d1, c0_, c1]])
+
+    # mode 7 verticalleft (intramodes.py:105)
+    a = [[_half(u[0]), _half(u[1])], [_half(u[1]), _half(u[2])],
+         [_half(u[2]), _half(u[3])], [_half(u[3]), _half(ur[0])],
+         [_half(ur[0]), _half(ur[1])]]
+    b = [[_quar(u[0]), _half(u[1]), _quar(u[2])],
+         [_quar(u[1]), _half(u[2]), _quar(u[3])],
+         [_quar(u[2]), _half(u[3]), _quar(ur[0])],
+         [_quar(u[3]), _half(ur[0]), _quar(ur[1])],
+         [_quar(ur[0]), _half(ur[1]), _quar(ur[2])]]
+    put(7, [a[:4], b[:4], a[1:5], b[1:5]])
+
+    # mode 8 horizontalup (intramodes.py:125)
+    a0 = [_half(l[0]), _half(l[1])]
+    a1 = [_quar(l[0]), _half(l[1]), _quar(l[2])]
+    a2 = [_half(l[1]), _half(l[2])]
+    a3 = [_quar(l[1]), _half(l[2]), _quar(l[3])]
+    b2 = [_half(l[2]), _half(l[3])]
+    b3 = [_quar(l[2]), _W3L3]
+    cc = [_raw(l[3])]
+    put(8, [[a0, a1, a2, a3], [a2, a3, b2, b3],
+            [b2, b3, cc, cc], [cc, cc, cc, cc]])
+    return s
+
+
+@functools.lru_cache(maxsize=None)
+def _kron_mats():
+    """(kron(Cf, Cf) [16,16] f32, kron(2Ci, 2Ci) [16,16] f32, gk [16,1] i32:
+    flattened 400*G norm table)."""
+    cf = np.asarray(_CF4, np.float32)
+    ci2 = np.asarray(_CI4X2, np.float32)
+    gk = np.asarray(_G4X400, np.int32).reshape(16, 1)
+    return np.kron(cf, cf), np.kron(ci2, ci2), gk
+
+
+def _shift_b(x, sh):
+    """x [..., B] shifted so result[i] = x[i + sh], sh scalar in {-1, 0, 1},
+    zeros shifted in. A shifted read can only cross a lane boundary (or a
+    plane-batch boundary of the fused axis) for lanes whose availability
+    mask is False, so the leaked value is never observed."""
+    z = jnp.zeros_like(x[..., :1])
+    left = jnp.concatenate([z, x[..., :-1]], axis=-1)     # sh = -1
+    right = jnp.concatenate([x[..., 1:], z], axis=-1)     # sh = +1
+    return jnp.where(sh == -1, left, jnp.where(sh == 0, x, right))
+
+
+def _neighbors(row1, col1, row2, cor3, masks, sh):
+    """u/l [4,B], ul [1,B], ur [4,B] with the reference 128 fills + ur
+    fallback. masks [4, B] i32; sh 4-tuple of i32 scalars."""
+    fill = jnp.int32(128)
+    m_u, m_l = masks[0:1] != 0, masks[1:2] != 0           # [1, B]
+    m_ul, m_ur = masks[2:3] != 0, masks[3:4] != 0
+    u_raw = _shift_b(row2, sh[0])                         # [4, B]
+    u = jnp.where(m_u, u_raw, fill)
+    l = jnp.where(m_l, _shift_b(col1, sh[1]), fill)
+    ul = jnp.where(m_ul, _shift_b(cor3, sh[2]), fill)     # [1, B]
+    ur_fb = jnp.where(m_u, u_raw[3:4], fill)              # [1, B]
+    ur = jnp.where(m_ur, _shift_b(row1, sh[3]), ur_fb)
+    return u, l, ul, ur, m_u, m_l, m_ur
+
+
+def _features_and_dc(u, l, ul, ur, m_u, m_l, m_ur):
+    """-> (features [41, B] f32, dc [1, B] i32)."""
+    nb = jnp.concatenate([u, l, ul, ur], axis=0)          # [13, B]
+    w3u = 3 * ur[3:4]
+    w3u = jnp.where(m_ur, w3u & 255, w3u) >> 2
+    w3l = 3 * l[3:4]
+    w3l = jnp.where(m_l, w3l & 255, w3l) >> 2
+    feats = jnp.concatenate([nb, nb >> 1, nb >> 2, w3u, w3l], axis=0)
+    s = u + l
+    s = jnp.where(m_u & m_l, s & 255, s)
+    dc = jnp.sum(s, axis=0, keepdims=True) >> 3           # [1, B]
+    return feats.astype(jnp.float32), dc
+
+
+def _all_preds(feats, dc, s_ref):
+    """-> preds [144, B] i32: 9 modes x 16 positions (DC rows overlaid)."""
+    p = jax.lax.dot_general(
+        s_ref[...], feats, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    p = p.astype(jnp.int32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+    lo, hi = _DC_MODE * _NPOS, (_DC_MODE + 1) * _NPOS
+    return jnp.where((rows >= lo) & (rows < hi), dc, p)
+
+
+def _core_fwd_quant(x16, kf_ref, gk_ref, qstep):
+    """vec residual [16, B] i32 -> quantized coefficients [16, B] i32."""
+    coef = jax.lax.dot_general(
+        kf_ref[...], x16.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    return _iround_div(coef * gk_ref[...], 400 * qstep)
+
+
+def _core_dequant_inv(q16, ki_ref, qstep):
+    """quantized coefficients [16, B] i32 -> reconstructed residual i32."""
+    r = jax.lax.dot_general(
+        ki_ref[...], (q16 * jnp.int32(qstep)).astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    return _iround_div(r, 4)
+
+
+def _carry_rows(block16):
+    """(bottom row [4,B], right column [4,B], corner [1,B]) of a diagonal's
+    blocks in vec-position layout (p = r*4 + c)."""
+    bottom = block16[12:16]
+    right = jnp.concatenate([block16[3:4], block16[7:8],
+                             block16[11:12], block16[15:16]], axis=0)
+    return bottom, right, block16[15:16]
+
+
+def _init_carry(t, row1, col1, row2, cor3, B):
+    @pl.when(t == 0)
+    def _():
+        z = jnp.zeros((4, B), jnp.int32)
+        row1[...] = z
+        col1[...] = z
+        row2[...] = z
+        cor3[...] = jnp.zeros((1, B), jnp.int32)
+
+
+def _enc_kernel(sh_ref, orig_ref, mask_ref, s_ref, kf_ref, ki_ref, gk_ref,
+                q_ref, mode_ref, esc_ref, rec_ref,
+                row1, col1, row2, cor3, *, qstep, B):
+    t = pl.program_id(0)
+    _init_carry(t, row1, col1, row2, cor3, B)
+    oblk = orig_ref[0]                                    # [16, B]
+    sh = tuple(sh_ref[t, i] for i in range(4))
+    u, l, ul, ur, m_u, m_l, m_ur = _neighbors(
+        row1[...], col1[...], row2[...], cor3[...], mask_ref[0], sh)
+    feats, dc = _features_and_dc(u, l, ul, ur, m_u, m_l, m_ur)
+    preds = _all_preds(feats, dc, s_ref)                  # [144, B]
+
+    # strict-< first-min search over the 9 per-mode SADs (intraframe.py:
+    # 79-144): start from the 16*255 sentinel; earlier modes win ties
+    p9 = preds.reshape(_NMODE, _NPOS, B)
+    d9 = jnp.sum(jnp.abs(p9 - oblk[None]), axis=1)        # [9, B]
+    best = jnp.full((1, B), 16 * 255, jnp.int32)
+    mode = jnp.zeros((1, B), jnp.int32)
+    esc = jnp.ones((1, B), jnp.bool_)
+    for m in range(_NMODE):
+        better = d9[m:m + 1] < best
+        best = jnp.where(better, d9[m:m + 1], best)
+        mode = jnp.where(better, m, mode)
+        esc = esc & ~better
+    sel = ((mode == jax.lax.broadcasted_iota(jnp.int32, (_NMODE, B), 0))
+           & ~esc).astype(jnp.int32)                      # [9, B]
+    pred16 = jnp.sum(p9 * sel[:, None], axis=0)           # [16, B]
+
+    q = _core_fwd_quant(oblk - pred16, kf_ref, gk_ref, qstep)
+    rec = jnp.clip(pred16 + _core_dequant_inv(q, ki_ref, qstep), 0, 255)
+    q_ref[0] = q
+    rec_ref[0] = rec
+    mode_ref[0] = mode
+    esc_ref[0] = esc.astype(jnp.int32)
+    bottom, right, corner = _carry_rows(rec)
+    cor3[...] = row2[3:4]
+    row2[...] = row1[...]
+    row1[...] = bottom
+    col1[...] = right
+
+
+def _dec_kernel(sh_ref, res_ref, mask_ref, mode_in, esc_in, s_ref, ki_ref,
+                out_ref, row1, col1, row2, cor3, *, qstep, clip, B):
+    """qstep > 0: res_ref holds quantized coefficients (dequantized here);
+    qstep == 0: res_ref holds exact residuals (lossless path)."""
+    t = pl.program_id(0)
+    _init_carry(t, row1, col1, row2, cor3, B)
+    res = res_ref[0]                                      # [16, B]
+    if qstep:
+        res = _core_dequant_inv(res, ki_ref, qstep)
+    sh = tuple(sh_ref[t, i] for i in range(4))
+    u, l, ul, ur, m_u, m_l, m_ur = _neighbors(
+        row1[...], col1[...], row2[...], cor3[...], mask_ref[0], sh)
+    feats, dc = _features_and_dc(u, l, ul, ur, m_u, m_l, m_ur)
+    preds = _all_preds(feats, dc, s_ref)
+    mode = mode_in[0]                                     # [1, B]
+    live = esc_in[0] == 0
+    sel = ((mode == jax.lax.broadcasted_iota(jnp.int32, (_NMODE, B), 0))
+           & live).astype(jnp.int32)
+    pred16 = jnp.sum(preds.reshape(_NMODE, _NPOS, B) * sel[:, None], axis=0)
+    block = pred16 + res
+    if clip:
+        block = jnp.clip(block, 0, 255)
+    out_ref[0] = block
+    bottom, right, corner = _carry_rows(block)
+    cor3[...] = row2[3:4]
+    row2[...] = row1[...]
+    row1[...] = bottom
+    col1[...] = right
+
+
+# Mosaic stack-allocates the kernel body's intermediates at peak liveness;
+# the default 16 MiB scoped-VMEM budget is too small for the production
+# batch (the [144, B] predictor panel plus the feature/diff temporaries).
+# v5e has 128 MiB of physical VMEM — raise the scoped limit.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+
+
+def _plan_arrays(plan, n):
+    """(shifts [T, 4] i32, masks [T, 4, N*L] i32) from the host-side plan
+    (lane masks tiled across the fused plane-batch axis)."""
+    sh = np.stack([plan["sh_u"], plan["sh_l"], plan["sh_ul"],
+                   plan["sh_ur"]], axis=1).astype(np.int32)
+    m = np.stack([plan["a_u"], plan["a_l"], plan["a_ul"],
+                  plan["a_ur"]], axis=1).astype(np.int32)   # [T, 4, L]
+    T, _, L = m.shape
+    masks = np.broadcast_to(m[:, :, None, :], (T, 4, n, L)).reshape(
+        T, 4, n * L)
+    return jnp.asarray(sh), jnp.asarray(masks)
+
+
+def _specs(T, B):
+    blk = pl.BlockSpec((1, 16, B), lambda t, sh: (t, 0, 0),
+                       memory_space=pltpu.VMEM)
+    msk = pl.BlockSpec((1, 4, B), lambda t, sh: (t, 0, 0),
+                       memory_space=pltpu.VMEM)
+    sca = pl.BlockSpec((1, 1, B), lambda t, sh: (t, 0, 0),
+                       memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda t, sh: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((4, B), jnp.int32)] * 3 + \
+              [pltpu.VMEM((1, B), jnp.int32)]
+    return blk, msk, sca, const, scratch
+
+
+def _consts():
+    s_np = _selection_matrix()
+    kf_np, ki_np, gk_np = _kron_mats()
+    return (jnp.asarray(s_np), jnp.asarray(kf_np), jnp.asarray(ki_np),
+            jnp.asarray(gk_np))
+
+
+def encode_lossy_lanes(orig_l: jnp.ndarray, plan, qstep: int,
+                       interpret: bool = False):
+    """orig_l [T, 4, 4, N, L] i32 lane-ordered originals -> (q, mode, esc,
+    rec) in lane order ([T,4,4,N,L] i32, [T,N,L] i32, [T,N,L] bool,
+    [T,4,4,N,L] i32). Bit-identical to the lax.scan in
+    intra_encode4x4_lossy_batch."""
+    T, _, _, n, L = orig_l.shape
+    B = n * L
+    sh, masks = _plan_arrays(plan, n)
+    s_m, kf, ki, gk = _consts()
+    blk, msk, sca, const, scratch = _specs(T, B)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(T,),
+        in_specs=[blk, msk, const((_NMODE * _NPOS, _NFEAT)),
+                  const((16, 16)), const((16, 16)), const((16, 1))],
+        out_specs=[blk, sca, sca, blk],
+        scratch_shapes=scratch)
+    q_l, mode_l, esc_l, rec_l = pl.pallas_call(
+        functools.partial(_enc_kernel, qstep=qstep, B=B),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((T, 16, B), jnp.int32),
+                   jax.ShapeDtypeStruct((T, 1, B), jnp.int32),
+                   jax.ShapeDtypeStruct((T, 1, B), jnp.int32),
+                   jax.ShapeDtypeStruct((T, 16, B), jnp.int32)],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(sh, orig_l.reshape(T, 16, B), masks, s_m, kf, ki, gk)
+    unvec = lambda x: x.reshape(T, 4, 4, n, L)
+    unsca = lambda x: x.reshape(T, n, L)
+    return (unvec(q_l), unsca(mode_l), unsca(esc_l) != 0, unvec(rec_l))
+
+
+def decode_lanes(res_l: jnp.ndarray, mode_l: jnp.ndarray, esc_l: jnp.ndarray,
+                 plan, qstep: int, clip: bool, interpret: bool = False):
+    """res_l [T, 4, 4, N, L] i32 (quantized coefficients when qstep > 0,
+    exact residuals when qstep == 0), mode_l/esc_l [T, N, L] ->
+    reconstructed lane blocks [T, 4, 4, N, L] i32. Bit-identical to
+    _wavefront_reconstruct_batch."""
+    T, _, _, n, L = res_l.shape
+    B = n * L
+    sh, masks = _plan_arrays(plan, n)
+    s_m, _, ki, _ = _consts()
+    blk, msk, sca, const, scratch = _specs(T, B)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(T,),
+        in_specs=[blk, msk, sca, sca, const((_NMODE * _NPOS, _NFEAT)),
+                  const((16, 16))],
+        out_specs=blk,
+        scratch_shapes=scratch)
+    out = pl.pallas_call(
+        functools.partial(_dec_kernel, qstep=qstep, clip=clip, B=B),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, 16, B), jnp.int32),
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(sh, res_l.reshape(T, 16, B), masks,
+      mode_l.astype(jnp.int32).reshape(T, 1, B),
+      esc_l.astype(jnp.int32).reshape(T, 1, B), s_m, ki)
+    return out.reshape(T, 4, 4, n, L)

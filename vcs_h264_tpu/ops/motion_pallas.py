@@ -275,21 +275,39 @@ def motion_compensate_pallas_gops(mv: jnp.ndarray, refs: jnp.ndarray,
     return out.reshape(g, f, c, h, w)
 
 
-def _sad_kernel_gops(imin_ref, cur_ref, phase_ref, sel_ref, out_ref, buf_ref,
-                     *, k, step, reach, bs, w, c, f, pad):
+def _sad_kernel_gops(imin_ref, skip_ref, cur_ref, phase_ref, sel_ref,
+                     out_ref, buf_ref, *, k, step, reach, bs, w, c, f, pad):
     """Multi-GOP variant: same as _sad_kernel, but the leading grid axis
-    selects the GOP (its own reference phases + its P-frames)."""
-    out_ref[0, 0, 0] = _sad_body(cur_ref[0], phase_ref[0, 0], sel_ref[...],
-                                 buf_ref, k=k, step=step, reach=reach, bs=bs,
-                                 w=w, c=c, f=f, pad=pad)
+    selects the GOP (its own reference phases + its P-frames).
+
+    skip_ref [B, nbh]: 1 marks a block row whose every block of every frame
+    passes the saturating static check — its sweep output is fully
+    overridden by select_mvs' static early-out (motion.py:109-116), so the
+    MXU/VPU work is skipped entirely (the reference's early-out realized at
+    row granularity; VERDICT r2 Next #2). Skipped rows leave garbage SADs
+    in the output, which select_mvs never reads for static blocks."""
+    g, bi = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(skip_ref[g, bi] == 0)
+    def _():
+        out_ref[0, 0, 0] = _sad_body(cur_ref[0], phase_ref[0, 0],
+                                     sel_ref[...], buf_ref, k=k, step=step,
+                                     reach=reach, bs=bs, w=w, c=c, f=f,
+                                     pad=pad)
 
 
 def sad_candidates_pallas_gops(curs: jnp.ndarray, refs: jnp.ndarray,
-                               plan: MotionSearchPlan) -> jnp.ndarray:
+                               plan: MotionSearchPlan,
+                               row_skip: jnp.ndarray | None = None
+                               ) -> jnp.ndarray:
     """GOP-batched SAD sweep: curs [B, F, C, H, W] vs refs [B, C, H, W]
     -> [B, F, nbh, nbw, K, K] int32. The GOP axis is a grid dimension
     (vmap-free: the dev tunnel's remote compiler stalls on vmapped
-    pallas_call programs)."""
+    pallas_call programs).
+
+    row_skip [B, nbh] i32 (optional): rows marked 1 skip the sweep; their
+    output is garbage that the caller's static early-out overrides (see
+    _sad_kernel_gops)."""
     bs, reach, step, k = plan.bs, plan.reach, plan.step, plan.k
     h, w, nbh, nbw = plan.h, plan.w, plan.nbh, plan.nbw
     b, f, c = curs.shape[0], curs.shape[1], curs.shape[2]
@@ -309,26 +327,29 @@ def sad_candidates_pallas_gops(curs: jnp.ndarray, refs: jnp.ndarray,
 
     i_min = jnp.asarray(plan.pos_i[:, 0], jnp.int32)
     sel = jnp.asarray(_sel_np(w, bs), jnp.bfloat16)
+    if row_skip is None:
+        row_skip = jnp.zeros((b, nbh), jnp.int32)
 
     kernel = functools.partial(_sad_kernel_gops, k=k, step=step, reach=reach,
                                bs=bs, w=w, c=c, f=f, pad=pad)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(b, nbh, k),
         in_specs=[
             pl.BlockSpec((1, f, c, bs, w),
-                         lambda g, bi, ki, im: (g, 0, 0, bi, 0),
+                         lambda g, bi, ki, im, rs: (g, 0, 0, bi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c, bs, wp),
-                         lambda g, bi, ki, im: (g, (step * ki) % bs, 0,
-                                                (im[bi] + step * ki
-                                                 - (step * ki) % bs) // bs, 0),
+                         lambda g, bi, ki, im, rs: (g, (step * ki) % bs, 0,
+                                                    (im[bi] + step * ki
+                                                     - (step * ki) % bs)
+                                                    // bs, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, nbw), lambda g, bi, ki, im: (0, 0),
+            pl.BlockSpec((w, nbw), lambda g, bi, ki, im, rs: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, 1, k * f, nbw),
-                               lambda g, bi, ki, im: (g, bi, ki, 0, 0),
+                               lambda g, bi, ki, im, rs: (g, bi, ki, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM(((k * f + k + f) * c * bs, w),
                                    jnp.bfloat16)],
@@ -337,7 +358,7 @@ def sad_candidates_pallas_gops(curs: jnp.ndarray, refs: jnp.ndarray,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, nbh, k, k * f, nbw), jnp.int32),
-    )(i_min, curs32, phases, sel)
+    )(i_min, row_skip.astype(jnp.int32), curs32, phases, sel)
     # [B, nbh, K(ki), K(kj)*F, nbw] -> [B, F, nbh, nbw, K(ki), K(kj)]
     out = out.reshape(b, nbh, k, k, f, nbw)
     return out.transpose(0, 4, 1, 5, 2, 3)
