@@ -20,19 +20,7 @@ def test_encode_lossy_pallas_matches_scan(rng, n, h, w):
     planes = _planes(rng, n, h, w)
     qstep = 16
     want = intra.intra_encode4x4_lossy_batch(planes, qstep, backend="xla")
-
-    nbh, nbw = h // 4, w // 4
-    plan = intra._wavefront_plan(nbh, nbw)
-    orig_l = intra._pm_lanes_of_blocks(
-        intra._pm_blocks_of_planes(planes), plan)
-    q_l, mode_l, esc_l, rec_l = intra_pallas.encode_lossy_lanes(
-        orig_l, plan, qstep, interpret=True)
-    got = (intra._pm_planes_of_blocks(
-               intra._pm_blocks_of_lanes(q_l, plan), h, w),
-           intra._pm_scalars_of_lanes(mode_l, plan).reshape(n, nbh, nbw),
-           intra._pm_scalars_of_lanes(esc_l, plan).reshape(n, nbh, nbw),
-           intra._pm_planes_of_blocks(
-               intra._pm_blocks_of_lanes(rec_l, plan), h, w))
+    got = intra_pallas.encode_lossy_planes(planes, qstep, interpret=True)
     for g, w_ in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w_))
 
@@ -41,24 +29,31 @@ def test_encode_lossy_pallas_matches_scan(rng, n, h, w):
 def test_decode_pallas_matches_scan(rng, qstep, clip):
     n, h, w = 2, 24, 40
     planes = _planes(rng, n, h, w)
-    nbh, nbw = h // 4, w // 4
-    plan = intra._wavefront_plan(nbh, nbw)
     if qstep:
         q, modes, esc, want = intra.intra_encode4x4_lossy_batch(
             planes, qstep, backend="xla")
-        res_blocks = intra._pm_blocks_of_planes(q)
+        res = q
     else:
         # lossless intra: residual from the codec-facing search
         import jax
         res, modes, esc = jax.vmap(intra.luma4x4_codec)(planes)
         want = planes
-        res_blocks = intra._pm_blocks_of_planes(res)
-    out_l = intra_pallas.decode_lanes(
-        intra._pm_lanes_of_blocks(res_blocks, plan),
-        intra._pm_lanes_of_scalars(
-            modes.reshape(n, -1).astype(jnp.int32), plan),
-        intra._pm_lanes_of_scalars(esc.reshape(n, -1), plan),
-        plan, qstep, clip, interpret=True)
-    got = intra._pm_planes_of_blocks(
-        intra._pm_blocks_of_lanes(out_l, plan), h, w)
+    got = intra_pallas.decode_planes(
+        res.astype(jnp.int32), modes.astype(jnp.int32), esc, qstep, clip,
+        interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_skew_roundtrip(rng):
+    """The pad+reshape skew (diagonal t -> column t) inverts exactly."""
+    n, h, w = 3, 28, 44
+    planes = _planes(rng, n, h, w)
+    lanes = intra_pallas._skew(planes)
+    back = intra_pallas._unskew(lanes, n, h, w)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(planes))
+    nbh, nbw = h // 4, w // 4
+    v = jnp.asarray(rng.integers(0, 9, (n, nbh, nbw)), jnp.int32)
+    sl = intra_pallas._skew_scalar(v, nbh, nbw)
+    np.testing.assert_array_equal(
+        np.asarray(intra_pallas._unskew_scalar(sl, n, nbh, nbw)),
+        np.asarray(v))

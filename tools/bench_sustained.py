@@ -1,0 +1,105 @@
+"""Sustained file->file throughput: cv2 ingest -> device encode -> host
+entropy coding -> .vcs, and .vcs -> device decode -> .mp4 (VERDICT r2
+Next #4 — all previously-published fps were device-resident fused loops).
+
+Uses the streaming encoder (models/encoder.py encode_stream: reader
+prefetch + async dispatch overlap) and the thread-pooled .vcs writer.
+
+Run: python tools/bench_sustained.py [--platform cpu] [--res 360|720]
+              [--frames 64] [--production]
+
+Note: under the axon dev tunnel the host<->device link (~20 MB/s, ~25 ms
+RPC floor) dominates — production hosts have PCIe. The CPU-platform run
+measures the host pipeline itself.
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VIDEO = "/root/reference/videos/slow_traffic_small.mp4"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", choices=["default", "cpu"],
+                    default="default")
+    ap.add_argument("--res", type=int, choices=[360, 720], default=360)
+    ap.add_argument("--frames", type=int, default=64)
+    ap.add_argument("--production", action="store_true", default=True)
+    args = ap.parse_args()
+    import jax
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import numpy as np
+    import cv2
+    from vcs_h264_tpu.config import CodecConfig
+    from vcs_h264_tpu.models import Encoder, Decoder
+    from vcs_h264_tpu.io.bitstream import save_vcs, load_vcs
+
+    src = VIDEO
+    tmpdir = tempfile.mkdtemp()
+    if args.res == 720:
+        # materialize a real 1280x720 input file (2x2-tiled frames)
+        src = os.path.join(tmpdir, "in720.mp4")
+        cap = cv2.VideoCapture(VIDEO)
+        wr = None
+        n = 0
+        while n < args.frames:
+            ok, f = cap.read()
+            if not ok:
+                break
+            big = np.tile(f, (2, 2, 1))
+            if wr is None:
+                wr = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"mp4v"),
+                                     25, (big.shape[1], big.shape[0]))
+            wr.write(big)
+            n += 1
+        wr.release()
+        cap.release()
+
+    cfg = CodecConfig.production(intra_qstep=24)
+    out_vcs = os.path.join(tmpdir, "out.vcs")
+    out_mp4 = os.path.join(tmpdir, "out.mp4")
+
+    # warm compiles outside the timed window (cold remote compiles are
+    # multi-minute through the tunnel)
+    enc = Encoder(cfg, gop_batch=8)
+    video = enc.encode_video(src, max_frames=args.frames)
+    save_vcs(video, out_vcs)
+
+    t0 = time.perf_counter()
+    video = enc.encode_video(src, max_frames=args.frames)
+    save_vcs(video, out_vcs)
+    t_enc = time.perf_counter() - t0
+    n = video.num_frames
+
+    dec = Decoder(gop_batch=8)
+    dec.decode_to_file(video, out_mp4)              # warm
+    loaded = load_vcs(out_vcs)
+    t0 = time.perf_counter()
+    loaded = load_vcs(out_vcs)
+    dec.decode_to_file(loaded, out_mp4)
+    t_dec = time.perf_counter() - t0
+
+    size = os.path.getsize(out_vcs)
+    print(json.dumps({
+        "res": args.res, "frames": n, "platform": jax.default_backend(),
+        "encode_wall_fps": round(n / t_enc, 1),
+        "decode_wall_fps": round(n / t_dec, 1),
+        "encode_s": round(t_enc, 3), "decode_s": round(t_dec, 3),
+        "vcs_bytes_per_frame": size // n,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -567,59 +567,85 @@ def _read_intra_payload(fh, shape, version):
     return iq, imodes, iesc.reshape(c, ih // 4, iw // 4).astype(bool)
 
 
+def _parallel_gop_sections(gops, write_one) -> list:
+    """Entropy-code per-GOP sections concurrently: the range coder's C
+    entry points release the GIL, so a thread pool overlaps the host-side
+    coding of independent GOPs (and, in the streaming encode path, the
+    device->host pulls of their still-resident arrays). Returns the encoded
+    section bytes in GOP order."""
+    import io as _io
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(gop):
+        buf = _io.BytesIO()
+        write_one(buf, gop)
+        return buf.getvalue()
+
+    if len(gops) <= 1:
+        return [one(g) for g in gops]
+    workers = min(8, os.cpu_count() or 1, len(gops))
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        return list(ex.map(one, gops))
+
+
 def _save_vcs_420(video: EncodedVideo, fh) -> None:
     """Per-GOP 4:2:0 sections: Y + quarter-res chroma (pipeline420)."""
     cfg = video.config
     bs = cfg.block_size
-    for gop in video.gops:
-        h, w = gop.i_y.shape[-2:]
-        fh.write(struct.pack("<II", h, w))
-        if gop.iq_y is not None and cfg.intra_qstep:
-            fh.write(struct.pack("<B", 2))
-            _write_intra_payload(fh, gop.iq_y, gop.im_y, gop.ie_y)
-            _write_intra_payload(fh, gop.iq_c, gop.im_c, gop.ie_c)
-        elif cfg.intra_i:
-            fh.write(struct.pack("<B", 1))
-            from vcs_h264_tpu.models.intra_codec import encode_intra_frame
-            for planes in (np.asarray(gop.i_y, np.int32)[None],
-                           np.asarray(gop.i_c, np.int32)):
-                intra = encode_intra_frame(planes)
-                res_blob = rc_encode(np.asarray(intra.residual).ravel())
-                modes_b = rc_encode_u8(np.asarray(intra.modes, np.uint8), 9)
-                esc = rc_encode(np.asarray(intra.escape).astype(np.int16)
-                                .ravel())
-                fh.write(struct.pack("<QQQ", len(res_blob), len(modes_b),
-                                     len(esc)))
-                fh.write(res_blob); fh.write(modes_b); fh.write(esc)
-        else:
-            fh.write(struct.pack("<B", 0))
-            fh.write(np.asarray(gop.i_y, np.uint8).tobytes())
-            fh.write(np.asarray(gop.i_c, np.uint8).tobytes())
-        fh.write(struct.pack("<I", gop.mv.shape[0]))
-        mv_blob = rc_encode(np.asarray(gop.mv, np.int16).ravel())
-        fh.write(struct.pack("<Q", len(mv_blob)))
-        fh.write(mv_blob)
+    for sec in _parallel_gop_sections(
+            video.gops, lambda b, g: _write_gop_420(b, g, cfg, bs)):
+        fh.write(sec)
 
-        def put_res(res):
-            if res is None:
-                fh.write(struct.pack("<Q", 0))
-                return
-            blob = rc_encode(_zigzag_plane(np.asarray(res, np.int16), bs))
-            fh.write(struct.pack("<Q", len(blob)))
-            fh.write(blob)
 
-        put_res(gop.res_y)
-        put_res(gop.res_c)
-        # ---- B section (v7) ----------------------------------------------
-        n_b = 0 if gop.b_mv is None else gop.b_mv.shape[0]
-        fh.write(struct.pack("<I", n_b))
-        if n_b:
-            bmv_blob = rc_encode(np.asarray(gop.b_mv, np.int16).ravel())
-            mode_b = rc_encode_u8(np.asarray(gop.b_mode, np.uint8), 3)
-            fh.write(struct.pack("<QQ", len(bmv_blob), len(mode_b)))
-            fh.write(bmv_blob); fh.write(mode_b)
-            put_res(gop.bres_y)
-            put_res(gop.bres_c)
+def _write_gop_420(fh, gop, cfg, bs) -> None:
+    h, w = gop.i_y.shape[-2:]
+    fh.write(struct.pack("<II", h, w))
+    if gop.iq_y is not None and cfg.intra_qstep:
+        fh.write(struct.pack("<B", 2))
+        _write_intra_payload(fh, gop.iq_y, gop.im_y, gop.ie_y)
+        _write_intra_payload(fh, gop.iq_c, gop.im_c, gop.ie_c)
+    elif cfg.intra_i:
+        fh.write(struct.pack("<B", 1))
+        from vcs_h264_tpu.models.intra_codec import encode_intra_frame
+        for planes in (np.asarray(gop.i_y, np.int32)[None],
+                       np.asarray(gop.i_c, np.int32)):
+            intra = encode_intra_frame(planes)
+            res_blob = rc_encode(np.asarray(intra.residual).ravel())
+            modes_b = rc_encode_u8(np.asarray(intra.modes, np.uint8), 9)
+            esc = rc_encode(np.asarray(intra.escape).astype(np.int16)
+                            .ravel())
+            fh.write(struct.pack("<QQQ", len(res_blob), len(modes_b),
+                                 len(esc)))
+            fh.write(res_blob); fh.write(modes_b); fh.write(esc)
+    else:
+        fh.write(struct.pack("<B", 0))
+        fh.write(np.asarray(gop.i_y, np.uint8).tobytes())
+        fh.write(np.asarray(gop.i_c, np.uint8).tobytes())
+    fh.write(struct.pack("<I", gop.mv.shape[0]))
+    mv_blob = rc_encode(np.asarray(gop.mv, np.int16).ravel())
+    fh.write(struct.pack("<Q", len(mv_blob)))
+    fh.write(mv_blob)
+
+    def put_res(res):
+        if res is None:
+            fh.write(struct.pack("<Q", 0))
+            return
+        blob = rc_encode(_zigzag_plane(np.asarray(res, np.int16), bs))
+        fh.write(struct.pack("<Q", len(blob)))
+        fh.write(blob)
+
+    put_res(gop.res_y)
+    put_res(gop.res_c)
+    # ---- B section (v7) ----------------------------------------------
+    n_b = 0 if gop.b_mv is None else gop.b_mv.shape[0]
+    fh.write(struct.pack("<I", n_b))
+    if n_b:
+        bmv_blob = rc_encode(np.asarray(gop.b_mv, np.int16).ravel())
+        mode_b = rc_encode_u8(np.asarray(gop.b_mode, np.uint8), 3)
+        fh.write(struct.pack("<QQ", len(bmv_blob), len(mode_b)))
+        fh.write(bmv_blob); fh.write(mode_b)
+        put_res(gop.bres_y)
+        put_res(gop.bres_c)
 
 
 def _load_vcs_420(fh, cfg: CodecConfig, n_gops: int, bs: int,
@@ -737,65 +763,70 @@ def save_vcs(video: EncodedVideo, path: str) -> None:
         if cfg.chroma_420:
             _save_vcs_420(video, fh)
             return
-        for gop in video.gops:
-            i_frame = np.asarray(gop.i_frame, dtype=np.uint8)
-            mv = np.asarray(gop.mv, dtype=np.int16)
-            fh.write(struct.pack("<III", *i_frame.shape))
-            # I-frame section type: 2 = lossy intra payload (bit-stable: the
-            # payload from encode time, NOT a re-encode of the recon),
-            # 1 = lossless intra, 0 = raw planes.
-            if gop.i_qcoef is not None and cfg.intra_qstep:
-                fh.write(struct.pack("<B", 2))
-                _write_intra_payload(fh, gop.i_qcoef, gop.i_modes,
-                                     gop.i_escape)
-            elif cfg.intra_i:
-                fh.write(struct.pack("<B", 1))
-                from vcs_h264_tpu.models.intra_codec import encode_intra_frame
-                intra = encode_intra_frame(i_frame.astype(np.int32))
-                res_blob = rc_encode(np.asarray(intra.residual).ravel())
-                modes_b = rc_encode_u8(np.asarray(intra.modes, np.uint8), 9)
-                esc = rc_encode(np.asarray(intra.escape).astype(np.int16)
-                                .ravel())
-                fh.write(struct.pack("<QQQ", len(res_blob), len(modes_b),
-                                     len(esc)))
-                fh.write(res_blob); fh.write(modes_b); fh.write(esc)
-            else:
-                fh.write(struct.pack("<B", 0))
-                fh.write(i_frame.tobytes())
-            fh.write(struct.pack("<I", mv.shape[0]))
-            mv_blob = rc_encode(mv.ravel())
-            fh.write(struct.pack("<Q", len(mv_blob)))
-            fh.write(mv_blob)
+        for sec in _parallel_gop_sections(
+                video.gops, lambda b, g: _write_gop_fullres(b, g, cfg, bs)):
+            fh.write(sec)
 
-            def res_blob(res):
-                if res is None:
-                    return b""
-                res = np.asarray(res)
-                if cfg.with_dct:
-                    res16 = np.round(res).astype(np.int16)
-                    return rc_encode(_zigzag_plane(res16, bs))
-                # wrap residuals are bytes; recenter to int16 around 0 for
-                # short codes (values cluster at 0 and 255)
-                res16 = res.astype(np.int16)
-                res16 = np.where(res16 > 127, res16 - 256,
-                                 res16).astype(np.int16)
-                return rc_encode(res16.ravel())
 
-            blob = res_blob(gop.residuals)
-            fh.write(struct.pack("<Q", len(blob)))
-            fh.write(blob)
-            # ---- B-frame section (v4) -----------------------------------
-            n_b = 0 if gop.b_mv is None else gop.b_mv.shape[0]
-            fh.write(struct.pack("<I", n_b))
-            if n_b:
-                bmv_blob = rc_encode(
-                    np.asarray(gop.b_mv, np.int16).ravel())
-                mode_b = rc_encode_u8(np.asarray(gop.b_mode, np.uint8), 3)
-                fh.write(struct.pack("<QQ", len(bmv_blob), len(mode_b)))
-                fh.write(bmv_blob); fh.write(mode_b)
-                bres = res_blob(gop.b_residuals)
-                fh.write(struct.pack("<Q", len(bres)))
-                fh.write(bres)
+def _write_gop_fullres(fh, gop, cfg, bs) -> None:
+        i_frame = np.asarray(gop.i_frame, dtype=np.uint8)
+        mv = np.asarray(gop.mv, dtype=np.int16)
+        fh.write(struct.pack("<III", *i_frame.shape))
+        # I-frame section type: 2 = lossy intra payload (bit-stable: the
+        # payload from encode time, NOT a re-encode of the recon),
+        # 1 = lossless intra, 0 = raw planes.
+        if gop.i_qcoef is not None and cfg.intra_qstep:
+            fh.write(struct.pack("<B", 2))
+            _write_intra_payload(fh, gop.i_qcoef, gop.i_modes,
+                                 gop.i_escape)
+        elif cfg.intra_i:
+            fh.write(struct.pack("<B", 1))
+            from vcs_h264_tpu.models.intra_codec import encode_intra_frame
+            intra = encode_intra_frame(i_frame.astype(np.int32))
+            res_blob = rc_encode(np.asarray(intra.residual).ravel())
+            modes_b = rc_encode_u8(np.asarray(intra.modes, np.uint8), 9)
+            esc = rc_encode(np.asarray(intra.escape).astype(np.int16)
+                            .ravel())
+            fh.write(struct.pack("<QQQ", len(res_blob), len(modes_b),
+                                 len(esc)))
+            fh.write(res_blob); fh.write(modes_b); fh.write(esc)
+        else:
+            fh.write(struct.pack("<B", 0))
+            fh.write(i_frame.tobytes())
+        fh.write(struct.pack("<I", mv.shape[0]))
+        mv_blob = rc_encode(mv.ravel())
+        fh.write(struct.pack("<Q", len(mv_blob)))
+        fh.write(mv_blob)
+
+        def res_blob(res):
+            if res is None:
+                return b""
+            res = np.asarray(res)
+            if cfg.with_dct:
+                res16 = np.round(res).astype(np.int16)
+                return rc_encode(_zigzag_plane(res16, bs))
+            # wrap residuals are bytes; recenter to int16 around 0 for
+            # short codes (values cluster at 0 and 255)
+            res16 = res.astype(np.int16)
+            res16 = np.where(res16 > 127, res16 - 256,
+                             res16).astype(np.int16)
+            return rc_encode(res16.ravel())
+
+        blob = res_blob(gop.residuals)
+        fh.write(struct.pack("<Q", len(blob)))
+        fh.write(blob)
+        # ---- B-frame section (v4) -----------------------------------
+        n_b = 0 if gop.b_mv is None else gop.b_mv.shape[0]
+        fh.write(struct.pack("<I", n_b))
+        if n_b:
+            bmv_blob = rc_encode(
+                np.asarray(gop.b_mv, np.int16).ravel())
+            mode_b = rc_encode_u8(np.asarray(gop.b_mode, np.uint8), 3)
+            fh.write(struct.pack("<QQ", len(bmv_blob), len(mode_b)))
+            fh.write(bmv_blob); fh.write(mode_b)
+            bres = res_blob(gop.b_residuals)
+            fh.write(struct.pack("<Q", len(bres)))
+            fh.write(bres)
 
 
 class _CheckedReader:

@@ -355,6 +355,44 @@ class Encoder:
         mult = self.cfg.block_size * (2 if self.cfg.chroma_420 else 1)
         reader = VideoReader(path, block_multiple=mult,
                              max_frames=max_frames)
-        frames = reader.read_all()
-        return self.encode_frames(frames, fps=reader.fps,
-                                  checkpoint_dir=checkpoint_dir)
+        if checkpoint_dir:
+            # resume semantics want the full frame list up front
+            frames = reader.read_all()
+            return self.encode_frames(frames, fps=reader.fps,
+                                      checkpoint_dir=checkpoint_dir)
+        return self.encode_stream(reader)
+
+    def encode_stream(self, reader) -> EncodedVideo:
+        """Streaming encode: consume the reader in GOP-batch chunks so cv2
+        decode (the reader's prefetch thread), host->device upload, and
+        device compute of consecutive batches overlap — JAX dispatch is
+        async and encoded GOPs stay device-resident until serialization, so
+        each encode_frames call returns without waiting for the device
+        (sustained file->file throughput, VERDICT r2 Next #4)."""
+        cfg = self.cfg
+        chunk = self.gop_batch * cfg.gop_len
+        gops: List = []
+        total = 0
+        height = width = None
+        buf: List[np.ndarray] = []
+
+        def flush():
+            nonlocal total, height, width
+            if not buf:
+                return
+            v = self.encode_frames(buf, fps=reader.fps,
+                                   gop_index_offset=len(gops))
+            gops.extend(v.gops)
+            total += len(buf)
+            height, width = v.height, v.width
+            buf.clear()
+
+        for frame in reader:
+            buf.append(frame)
+            if len(buf) == chunk:
+                flush()
+        flush()
+        if total == 0:
+            raise ValueError("no frames to encode")
+        return EncodedVideo(config=cfg, height=height, width=width,
+                            fps=reader.fps, num_frames=total, gops=gops)

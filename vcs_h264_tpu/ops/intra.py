@@ -650,22 +650,23 @@ def _use_pallas_wavefront(backend: str) -> bool:
                                    and jax.default_backend() == "tpu")
 
 
-def _decode_lanes_dispatch(res_blocks, modes, escape, nbh, nbw, clip,
-                           qstep, backend):
-    """Shared decode driver: res_blocks [4,4,N,nb] (quantized coefficients
-    when qstep > 0, exact residuals otherwise) -> reconstructed blocks."""
-    if not _use_pallas_wavefront(backend):
-        if qstep:
-            res_blocks = core4_dequant_inv_pm(res_blocks, qstep)
-        return _wavefront_reconstruct_batch(res_blocks, modes, escape,
-                                            nbh, nbw, clip=clip)
-    from vcs_h264_tpu.ops import intra_pallas
-    plan = _wavefront_plan(nbh, nbw)
-    out_l = intra_pallas.decode_lanes(
-        _pm_lanes_of_blocks(res_blocks, plan),
-        _pm_lanes_of_scalars(modes, plan),
-        _pm_lanes_of_scalars(escape, plan), plan, qstep, clip)
-    return _pm_blocks_of_lanes(out_l, plan)
+def _decode_planes_dispatch(res_planes, modes, escape, clip, qstep, backend):
+    """Shared decode driver: res_planes [N, H, W] (block-layout quantized
+    coefficients when qstep > 0, exact residuals otherwise), modes/escape
+    [N, nbh, nbw] -> reconstructed planes [N, H, W]."""
+    n, h, w = res_planes.shape
+    nbh, nbw = h // 4, w // 4
+    if _use_pallas_wavefront(backend):
+        from vcs_h264_tpu.ops import intra_pallas
+        return intra_pallas.decode_planes(res_planes, modes, escape,
+                                          qstep, clip)
+    res_blocks = _pm_blocks_of_planes(res_planes)
+    if qstep:
+        res_blocks = core4_dequant_inv_pm(res_blocks, qstep)
+    out = _wavefront_reconstruct_batch(
+        res_blocks, modes.reshape(n, -1).astype(jnp.int32),
+        escape.reshape(n, -1), nbh, nbw, clip=clip)
+    return _pm_planes_of_blocks(out, h, w)
 
 
 @functools.partial(jax.jit, static_argnames=("backend",))
@@ -679,12 +680,8 @@ def intra_decode4x4_batch(residual: jnp.ndarray, modes: jnp.ndarray,
     Because the encoder predicts from *original* neighbors and the residual
     is exact, reconstructing in dependency order reproduces the source
     bit-exactly."""
-    n, h, w = residual.shape
-    nbh, nbw = h // 4, w // 4
-    out = _decode_lanes_dispatch(
-        _pm_blocks_of_planes(residual), modes.reshape(n, -1).astype(jnp.int32),
-        escape.reshape(n, -1), nbh, nbw, clip=False, qstep=0, backend=backend)
-    return _pm_planes_of_blocks(out, h, w)
+    return _decode_planes_dispatch(residual, modes, escape, clip=False,
+                                   qstep=0, backend=backend)
 
 
 @functools.partial(jax.jit)
@@ -800,19 +797,14 @@ def intra_encode4x4_lossy_batch(planes: jnp.ndarray, qstep: int,
     with the reference's strict-< / 16*255-sentinel selection semantics."""
     n, h, w = planes.shape
     nbh, nbw = h // 4, w // 4
+    if _use_pallas_wavefront(backend):
+        from vcs_h264_tpu.ops import intra_pallas
+        return intra_pallas.encode_lossy_planes(planes, qstep)
+
     plan = _wavefront_plan(nbh, nbw)
     xs = _lane_xs(plan)
     L = plan["L"]
     orig_l = _pm_lanes_of_blocks(_pm_blocks_of_planes(planes), plan)
-
-    if _use_pallas_wavefront(backend):
-        from vcs_h264_tpu.ops import intra_pallas
-        q_l, mode_l, esc_l, rec_l = intra_pallas.encode_lossy_lanes(
-            orig_l, plan, qstep)
-        return (_pm_planes_of_blocks(_pm_blocks_of_lanes(q_l, plan), h, w),
-                _pm_scalars_of_lanes(mode_l, plan).reshape(n, nbh, nbw),
-                _pm_scalars_of_lanes(esc_l, plan).reshape(n, nbh, nbw),
-                _pm_planes_of_blocks(_pm_blocks_of_lanes(rec_l, plan), h, w))
 
     def body(carry, step):
         xs_t, oblk = step                                 # oblk [4, 4, N, L]
@@ -854,13 +846,8 @@ def intra_decode4x4_lossy_batch(qcoef: jnp.ndarray, modes: jnp.ndarray,
     """Batched wavefront decode, bit-exact inverse of the encoder's recon.
 
     qcoef [N, H, W], modes/escape [N, nbh, nbw] -> [N, H, W] int32."""
-    n, h, w = qcoef.shape
-    nbh, nbw = h // 4, w // 4
-    out = _decode_lanes_dispatch(
-        _pm_blocks_of_planes(qcoef), modes.reshape(n, -1).astype(jnp.int32),
-        escape.reshape(n, -1), nbh, nbw, clip=True, qstep=qstep,
-        backend=backend)
-    return _pm_planes_of_blocks(out, h, w)
+    return _decode_planes_dispatch(qcoef, modes, escape, clip=True,
+                                   qstep=qstep, backend=backend)
 
 
 @functools.partial(jax.jit, static_argnames=("qstep",))

@@ -169,29 +169,30 @@ def _kron_mats():
     return np.kron(cf, cf), np.kron(ci2, ci2), gk
 
 
-def _shift_b(x, sh):
-    """x [..., B] shifted so result[i] = x[i + sh], sh scalar in {-1, 0, 1},
-    zeros shifted in. A shifted read can only cross a lane boundary (or a
-    plane-batch boundary of the fused axis) for lanes whose availability
-    mask is False, so the leaked value is never observed."""
+def _shift_m1(x):
+    """result[i] = x[i - 1], zero shifted in. In the skewed layout every
+    lane IS its block row bi, so an up-ish neighbor always sits one lane
+    lower — a CONSTANT shift. A shifted read crosses a plane-batch boundary
+    of the fused (N, bi) axis only at bi == 0, where the availability mask
+    is False, so the leaked value is never observed."""
     z = jnp.zeros_like(x[..., :1])
-    left = jnp.concatenate([z, x[..., :-1]], axis=-1)     # sh = -1
-    right = jnp.concatenate([x[..., 1:], z], axis=-1)     # sh = +1
-    return jnp.where(sh == -1, left, jnp.where(sh == 0, x, right))
+    return jnp.concatenate([z, x[..., :-1]], axis=-1)
 
 
-def _neighbors(row1, col1, row2, cor3, masks, sh):
+def _neighbors(row1, col1, row2, cor3, masks):
     """u/l [4,B], ul [1,B], ur [4,B] with the reference 128 fills + ur
-    fallback. masks [4, B] i32; sh 4-tuple of i32 scalars."""
+    fallback. masks [4, B] i32. Skewed-layout neighbor lanes: u -> diag t-2
+    lane bi-1, l -> diag t-1 lane bi, ul -> diag t-3 lane bi-1, ur -> diag
+    t-1 lane bi-1 (all fixed shifts)."""
     fill = jnp.int32(128)
     m_u, m_l = masks[0:1] != 0, masks[1:2] != 0           # [1, B]
     m_ul, m_ur = masks[2:3] != 0, masks[3:4] != 0
-    u_raw = _shift_b(row2, sh[0])                         # [4, B]
+    u_raw = _shift_m1(row2)                               # [4, B]
     u = jnp.where(m_u, u_raw, fill)
-    l = jnp.where(m_l, _shift_b(col1, sh[1]), fill)
-    ul = jnp.where(m_ul, _shift_b(cor3, sh[2]), fill)     # [1, B]
+    l = jnp.where(m_l, col1, fill)
+    ul = jnp.where(m_ul, _shift_m1(cor3), fill)           # [1, B]
     ur_fb = jnp.where(m_u, u_raw[3:4], fill)              # [1, B]
-    ur = jnp.where(m_ur, _shift_b(row1, sh[3]), ur_fb)
+    ur = jnp.where(m_ur, _shift_m1(row1), ur_fb)
     return u, l, ul, ur, m_u, m_l, m_ur
 
 
@@ -257,15 +258,18 @@ def _init_carry(t, row1, col1, row2, cor3, B):
         cor3[...] = jnp.zeros((1, B), jnp.int32)
 
 
-def _enc_kernel(sh_ref, orig_ref, mask_ref, s_ref, kf_ref, ki_ref, gk_ref,
-                q_ref, mode_ref, esc_ref, rec_ref,
-                row1, col1, row2, cor3, *, qstep, B):
-    t = pl.program_id(0)
-    _init_carry(t, row1, col1, row2, cor3, B)
-    oblk = orig_ref[0]                                    # [16, B]
-    sh = tuple(sh_ref[t, i] for i in range(4))
-    u, l, ul, ur, m_u, m_l, m_ur = _neighbors(
-        row1[...], col1[...], row2[...], cor3[...], mask_ref[0], sh)
+# Each grid step processes _KDIAG consecutive anti-diagonals: the carry
+# rides registers across the unrolled sub-steps and is stored to scratch
+# once per grid step, cutting the per-diagonal fixed cost (grid/DMA/
+# semaphore overhead) ~_KDIAG-fold. Padded tail sub-steps (t >= T) see
+# all-False masks and their outputs land in padded rows dropped on unpad.
+_KDIAG = 4
+
+
+def _enc_substep(oblk, carry, masks, s_ref, kf_ref, ki_ref, gk_ref,
+                 qstep, B):
+    r1, c1, r2, c3 = carry
+    u, l, ul, ur, m_u, m_l, m_ur = _neighbors(r1, c1, r2, c3, masks)
     feats, dc = _features_and_dc(u, l, ul, ur, m_u, m_l, m_ur)
     preds = _all_preds(feats, dc, s_ref)                  # [144, B]
 
@@ -287,45 +291,67 @@ def _enc_kernel(sh_ref, orig_ref, mask_ref, s_ref, kf_ref, ki_ref, gk_ref,
 
     q = _core_fwd_quant(oblk - pred16, kf_ref, gk_ref, qstep)
     rec = jnp.clip(pred16 + _core_dequant_inv(q, ki_ref, qstep), 0, 255)
-    q_ref[0] = q
-    rec_ref[0] = rec
-    mode_ref[0] = mode
-    esc_ref[0] = esc.astype(jnp.int32)
-    bottom, right, corner = _carry_rows(rec)
-    cor3[...] = row2[3:4]
-    row2[...] = row1[...]
+    return (q, mode, esc, rec)
+
+
+def _advance_carry(row1, col1, row2, cor3, r1_old, r2_old, block):
+    """Scratch-mediated carry advance: values round-trip through VMEM
+    scratch between sub-steps (stores normalize vector layouts — Mosaic
+    cannot concatenate register values whose lane offsets differ)."""
+    bottom, right, _ = _carry_rows(block)
+    cor3[...] = r2_old[3:4]
+    row2[...] = r1_old
     row1[...] = bottom
     col1[...] = right
 
 
-def _dec_kernel(sh_ref, res_ref, mask_ref, mode_in, esc_in, s_ref, ki_ref,
-                out_ref, row1, col1, row2, cor3, *, qstep, clip, B):
-    """qstep > 0: res_ref holds quantized coefficients (dequantized here);
-    qstep == 0: res_ref holds exact residuals (lossless path)."""
-    t = pl.program_id(0)
-    _init_carry(t, row1, col1, row2, cor3, B)
-    res = res_ref[0]                                      # [16, B]
+def _enc_kernel(orig_ref, mask_ref, s_ref, kf_ref, ki_ref, gk_ref,
+                q_ref, mode_ref, esc_ref, rec_ref,
+                row1, col1, row2, cor3, *, qstep, B):
+    t0 = pl.program_id(0)
+    _init_carry(t0, row1, col1, row2, cor3, B)
+    for j in range(_KDIAG):
+        carry = (row1[...], col1[...], row2[...], cor3[...])
+        q, mode, esc, rec = _enc_substep(
+            orig_ref[0, j], carry, mask_ref[0, j],
+            s_ref, kf_ref, ki_ref, gk_ref, qstep, B)
+        q_ref[0, j] = q
+        rec_ref[0, j] = rec
+        mode_ref[0, j] = mode
+        esc_ref[0, j] = esc.astype(jnp.int32)
+        _advance_carry(row1, col1, row2, cor3, carry[0], carry[2], rec)
+
+
+def _dec_substep(res, mode, live, carry, masks, s_ref, ki_ref,
+                 qstep, clip, B):
+    r1, c1, r2, c3 = carry
     if qstep:
         res = _core_dequant_inv(res, ki_ref, qstep)
-    sh = tuple(sh_ref[t, i] for i in range(4))
-    u, l, ul, ur, m_u, m_l, m_ur = _neighbors(
-        row1[...], col1[...], row2[...], cor3[...], mask_ref[0], sh)
+    u, l, ul, ur, m_u, m_l, m_ur = _neighbors(r1, c1, r2, c3, masks)
     feats, dc = _features_and_dc(u, l, ul, ur, m_u, m_l, m_ur)
     preds = _all_preds(feats, dc, s_ref)
-    mode = mode_in[0]                                     # [1, B]
-    live = esc_in[0] == 0
     sel = ((mode == jax.lax.broadcasted_iota(jnp.int32, (_NMODE, B), 0))
            & live).astype(jnp.int32)
     pred16 = jnp.sum(preds.reshape(_NMODE, _NPOS, B) * sel[:, None], axis=0)
     block = pred16 + res
     if clip:
         block = jnp.clip(block, 0, 255)
-    out_ref[0] = block
-    bottom, right, corner = _carry_rows(block)
-    cor3[...] = row2[3:4]
-    row2[...] = row1[...]
-    row1[...] = bottom
-    col1[...] = right
+    return block
+
+
+def _dec_kernel(res_ref, mask_ref, mode_in, esc_in, s_ref, ki_ref,
+                out_ref, row1, col1, row2, cor3, *, qstep, clip, B):
+    """qstep > 0: res_ref holds quantized coefficients (dequantized here);
+    qstep == 0: res_ref holds exact residuals (lossless path)."""
+    t0 = pl.program_id(0)
+    _init_carry(t0, row1, col1, row2, cor3, B)
+    for j in range(_KDIAG):
+        carry = (row1[...], col1[...], row2[...], cor3[...])
+        block = _dec_substep(
+            res_ref[0, j], mode_in[0, j], esc_in[0, j] == 0, carry,
+            mask_ref[0, j], s_ref, ki_ref, qstep, clip, B)
+        out_ref[0, j] = block
+        _advance_carry(row1, col1, row2, cor3, carry[0], carry[2], block)
 
 
 # Mosaic stack-allocates the kernel body's intermediates at peak liveness;
@@ -335,27 +361,92 @@ def _dec_kernel(sh_ref, res_ref, mask_ref, mode_in, esc_in, s_ref, ki_ref,
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
 
 
-def _plan_arrays(plan, n):
-    """(shifts [T, 4] i32, masks [T, 4, N*L] i32) from the host-side plan
-    (lane masks tiled across the fused plane-batch axis)."""
-    sh = np.stack([plan["sh_u"], plan["sh_l"], plan["sh_ul"],
-                   plan["sh_ur"]], axis=1).astype(np.int32)
-    m = np.stack([plan["a_u"], plan["a_l"], plan["a_ul"],
-                  plan["a_ur"]], axis=1).astype(np.int32)   # [T, 4, L]
-    T, _, L = m.shape
-    masks = np.broadcast_to(m[:, :, None, :], (T, 4, n, L)).reshape(
-        T, 4, n * L)
-    return jnp.asarray(sh), jnp.asarray(masks)
+def _skew_masks(nbh: int, nbw: int, n: int) -> jnp.ndarray:
+    """[T', 4, N*nbh] i32 availability masks in the skewed layout: lane i
+    of diagonal t holds block (i, t - 2i); a_u/a_l/a_ul/a_ur follow the
+    positional rules of ops/intra.py _avail_masks. Padded diagonals
+    (t >= T) are all-False so tail sub-steps are inert."""
+    T = 2 * (nbh - 1) + nbw
+    Tp = _pad_T(T)
+    t = np.arange(Tp)[:, None]
+    i = np.arange(nbh)[None, :]
+    j = t - 2 * i
+    valid = (j >= 0) & (j < nbw) & (t < T)
+    a_u = valid & (i >= 1)
+    a_l = valid & (j >= 1)
+    a_ul = a_u & (j >= 1)
+    a_ur = a_u & (j < nbw - 1)
+    m = np.stack([a_u, a_l, a_ul, a_ur], axis=1).astype(np.int32)
+    m = np.broadcast_to(m[:, :, None, :], (Tp, 4, n, nbh))
+    return jnp.asarray(m.reshape(Tp, 4, n * nbh))
 
 
-def _specs(T, B):
-    blk = pl.BlockSpec((1, 16, B), lambda t, sh: (t, 0, 0),
+def _pad_T(T: int) -> int:
+    return -(-T // _KDIAG) * _KDIAG
+
+
+def _skew(planes: jnp.ndarray):
+    """[N, H, W] -> skewed lane stream [T', 16, N*nbh].
+
+    The wavefront key is 2*bi + bj, so padding each block row bi by 2*bi
+    columns turns diagonal t into a plain COLUMN — a pure pad + reshape
+    (flat index i*(T+2) + c reinterpreted with row length T), no gather:
+    Z[i, 2i + j] = X[i, j]. (The XLA gather formulation of this reordering
+    cost ~54 ms per 24-plane 720p batch — 5x the kernel itself.)"""
+    n, h, w = planes.shape
+    nbh, nbw = h // 4, w // 4
+    T = 2 * (nbh - 1) + nbw
+    Tp = _pad_T(T)
+    x = planes.reshape(n, nbh, 4, nbw, 4).transpose(2, 4, 0, 1, 3)
+    x = x.reshape(16, n, nbh, nbw)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, T + 2 - nbw)))
+    # reinterpret each (p, n) group's [nbh, T+2] rows with row length T:
+    # Z[i, 2i + j] = X[i, j] (the per-group slice keeps group starts aligned)
+    x = x.reshape(16, n, nbh * (T + 2))[..., : nbh * T]
+    x = x.reshape(16, n, nbh, T)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, Tp - T)))
+    return x.transpose(3, 0, 1, 2).reshape(Tp, 16, n * nbh)
+
+
+def _unskew(lanes: jnp.ndarray, n: int, h: int, w: int):
+    """[T', 16, N*nbh] -> [N, H, W] (inverse of _skew; drops pad lanes)."""
+    nbh, nbw = h // 4, w // 4
+    T = 2 * (nbh - 1) + nbw
+    x = lanes[:T].transpose(1, 2, 0).reshape(16, n, nbh * T)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 2 * nbh)))
+    x = x.reshape(16, n, nbh, T + 2)[..., :nbw]
+    x = x.reshape(4, 4, n, nbh, nbw).transpose(2, 3, 0, 4, 1)
+    return x.reshape(n, h, w)
+
+
+def _skew_scalar(v: jnp.ndarray, nbh: int, nbw: int):
+    """[N, nbh, nbw] -> [T', 1, N*nbh]."""
+    n = v.shape[0]
+    T = 2 * (nbh - 1) + nbw
+    Tp = _pad_T(T)
+    x = jnp.pad(v, ((0, 0), (0, 0), (0, T + 2 - nbw)))
+    x = x.reshape(n, nbh * (T + 2))[..., : nbh * T].reshape(n, nbh, T)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, Tp - T)))
+    return x.transpose(2, 0, 1).reshape(Tp, 1, n * nbh)
+
+
+def _unskew_scalar(lanes: jnp.ndarray, n: int, nbh: int, nbw: int):
+    """[T', 1, N*nbh] -> [N, nbh, nbw]."""
+    T = 2 * (nbh - 1) + nbw
+    x = lanes[:T].reshape(T, n, nbh).transpose(1, 2, 0).reshape(n, nbh * T)
+    x = jnp.pad(x, ((0, 0), (0, 2 * nbh)))
+    return x.reshape(n, nbh, T + 2)[..., :nbw]
+
+
+def _specs(B):
+    k = _KDIAG
+    blk = pl.BlockSpec((1, k, 16, B), lambda t: (t, 0, 0, 0),
                        memory_space=pltpu.VMEM)
-    msk = pl.BlockSpec((1, 4, B), lambda t, sh: (t, 0, 0),
+    msk = pl.BlockSpec((1, k, 4, B), lambda t: (t, 0, 0, 0),
                        memory_space=pltpu.VMEM)
-    sca = pl.BlockSpec((1, 1, B), lambda t, sh: (t, 0, 0),
+    sca = pl.BlockSpec((1, k, 1, B), lambda t: (t, 0, 0, 0),
                        memory_space=pltpu.VMEM)
-    const = lambda shape: pl.BlockSpec(shape, lambda t, sh: (0, 0),
+    const = lambda shape: pl.BlockSpec(shape, lambda t: (0, 0),
                                        memory_space=pltpu.VMEM)
     scratch = [pltpu.VMEM((4, B), jnp.int32)] * 3 + \
               [pltpu.VMEM((1, B), jnp.int32)]
@@ -369,51 +460,58 @@ def _consts():
             jnp.asarray(gk_np))
 
 
-def encode_lossy_lanes(orig_l: jnp.ndarray, plan, qstep: int,
-                       interpret: bool = False):
-    """orig_l [T, 4, 4, N, L] i32 lane-ordered originals -> (q, mode, esc,
-    rec) in lane order ([T,4,4,N,L] i32, [T,N,L] i32, [T,N,L] bool,
-    [T,4,4,N,L] i32). Bit-identical to the lax.scan in
-    intra_encode4x4_lossy_batch."""
-    T, _, _, n, L = orig_l.shape
-    B = n * L
-    sh, masks = _plan_arrays(plan, n)
+def encode_lossy_planes(planes: jnp.ndarray, qstep: int,
+                        interpret: bool = False):
+    """planes [N, H, W] i32 -> (qcoef [N,H,W] block-layout planes i32,
+    modes [N,nbh,nbw] i32, escape [N,nbh,nbw] bool, recon [N,H,W] i32).
+    Bit-identical to the lax.scan in intra_encode4x4_lossy_batch."""
+    n, h, w = planes.shape
+    nbh, nbw = h // 4, w // 4
+    B = n * nbh
+    k = _KDIAG
+    masks = _skew_masks(nbh, nbw, n)
+    Tp = masks.shape[0]
     s_m, kf, ki, gk = _consts()
-    blk, msk, sca, const, scratch = _specs(T, B)
+    blk, msk, sca, const, scratch = _specs(B)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1, grid=(T,),
+        num_scalar_prefetch=0, grid=(Tp // k,),
         in_specs=[blk, msk, const((_NMODE * _NPOS, _NFEAT)),
                   const((16, 16)), const((16, 16)), const((16, 1))],
         out_specs=[blk, sca, sca, blk],
         scratch_shapes=scratch)
+    orig_p = _skew(planes).reshape(Tp // k, k, 16, B)
     q_l, mode_l, esc_l, rec_l = pl.pallas_call(
         functools.partial(_enc_kernel, qstep=qstep, B=B),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((T, 16, B), jnp.int32),
-                   jax.ShapeDtypeStruct((T, 1, B), jnp.int32),
-                   jax.ShapeDtypeStruct((T, 1, B), jnp.int32),
-                   jax.ShapeDtypeStruct((T, 16, B), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((Tp // k, k, 16, B), jnp.int32),
+                   jax.ShapeDtypeStruct((Tp // k, k, 1, B), jnp.int32),
+                   jax.ShapeDtypeStruct((Tp // k, k, 1, B), jnp.int32),
+                   jax.ShapeDtypeStruct((Tp // k, k, 16, B), jnp.int32)],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(sh, orig_l.reshape(T, 16, B), masks, s_m, kf, ki, gk)
-    unvec = lambda x: x.reshape(T, 4, 4, n, L)
-    unsca = lambda x: x.reshape(T, n, L)
-    return (unvec(q_l), unsca(mode_l), unsca(esc_l) != 0, unvec(rec_l))
+    )(orig_p, masks.reshape(Tp // k, k, 4, B), s_m, kf, ki, gk)
+    unv = lambda x: _unskew(x.reshape(Tp, 16, B), n, h, w)
+    uns = lambda x: _unskew_scalar(x.reshape(Tp, 1, B), n, nbh, nbw)
+    return (unv(q_l), uns(mode_l), uns(esc_l) != 0, unv(rec_l))
 
 
-def decode_lanes(res_l: jnp.ndarray, mode_l: jnp.ndarray, esc_l: jnp.ndarray,
-                 plan, qstep: int, clip: bool, interpret: bool = False):
-    """res_l [T, 4, 4, N, L] i32 (quantized coefficients when qstep > 0,
-    exact residuals when qstep == 0), mode_l/esc_l [T, N, L] ->
-    reconstructed lane blocks [T, 4, 4, N, L] i32. Bit-identical to
+def decode_planes(res_planes: jnp.ndarray, modes: jnp.ndarray,
+                  escape: jnp.ndarray, qstep: int, clip: bool,
+                  interpret: bool = False):
+    """res_planes [N, H, W] i32 (block-layout quantized coefficients when
+    qstep > 0, exact residuals when qstep == 0), modes/escape [N, nbh, nbw]
+    -> reconstructed planes [N, H, W] i32. Bit-identical to
     _wavefront_reconstruct_batch."""
-    T, _, _, n, L = res_l.shape
-    B = n * L
-    sh, masks = _plan_arrays(plan, n)
+    n, h, w = res_planes.shape
+    nbh, nbw = h // 4, w // 4
+    B = n * nbh
+    k = _KDIAG
+    masks = _skew_masks(nbh, nbw, n)
+    Tp = masks.shape[0]
     s_m, _, ki, _ = _consts()
-    blk, msk, sca, const, scratch = _specs(T, B)
+    blk, msk, sca, const, scratch = _specs(B)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1, grid=(T,),
+        num_scalar_prefetch=0, grid=(Tp // k,),
         in_specs=[blk, msk, sca, sca, const((_NMODE * _NPOS, _NFEAT)),
                   const((16, 16))],
         out_specs=blk,
@@ -421,10 +519,13 @@ def decode_lanes(res_l: jnp.ndarray, mode_l: jnp.ndarray, esc_l: jnp.ndarray,
     out = pl.pallas_call(
         functools.partial(_dec_kernel, qstep=qstep, clip=clip, B=B),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, 16, B), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((Tp // k, k, 16, B), jnp.int32),
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(sh, res_l.reshape(T, 16, B), masks,
-      mode_l.astype(jnp.int32).reshape(T, 1, B),
-      esc_l.astype(jnp.int32).reshape(T, 1, B), s_m, ki)
-    return out.reshape(T, 4, 4, n, L)
+    )(_skew(res_planes).reshape(Tp // k, k, 16, B),
+      masks.reshape(Tp // k, k, 4, B),
+      _skew_scalar(modes.astype(jnp.int32), nbh, nbw).reshape(
+          Tp // k, k, 1, B),
+      _skew_scalar(escape.astype(jnp.int32), nbh, nbw).reshape(
+          Tp // k, k, 1, B), s_m, ki)
+    return _unskew(out.reshape(Tp, 16, B), n, h, w)

@@ -66,7 +66,7 @@ def _sel_np(w: int, bs: int) -> np.ndarray:
 
 
 def _sad_body(cur, ref_rows, sel, buf_ref, *, k, step, reach, bs, w, c, f,
-              pad):
+              off0):
     """Shared SAD body: cur [F, C, bs, W] i32, ref_rows [C, bs, Wp] i32,
     sel [W, nbw] bf16 0/1, buf_ref [(K*F + K + F)*C*bs, W] bf16 scratch ->
     [K*F, nbw] i32 SADs.
@@ -84,7 +84,7 @@ def _sad_body(cur, ref_rows, sel, buf_ref, *, k, step, reach, bs, w, c, f,
     rows = c * bs
     n_cmp, n_seg = k * f * rows, k * rows
     for kj in range(k):
-        off = pad + step * kj - reach
+        off = off0 + step * kj
         seg = jax.lax.slice(ref_rows, (0, 0, off), (c, bs, off + w))
         cmp = (seg[None] < cur).astype(jnp.bfloat16)         # [F, C, bs, W]
         buf_ref[kj * f * rows:(kj + 1) * f * rows] = cmp.reshape(f * rows, w)
@@ -110,7 +110,7 @@ def _sad_kernel(imin_ref, cur_ref, phase_ref, sel_ref, out_ref, buf_ref, *,
     i32; buf_ref [(K*F + K + F)*C*bs, W] bf16 scratch."""
     out_ref[0, 0] = _sad_body(cur_ref[...], phase_ref[0], sel_ref[...],
                               buf_ref, k=k, step=step, reach=reach, bs=bs,
-                              w=w, c=c, f=f, pad=pad)
+                              w=w, c=c, f=f, off0=pad - reach)
 
 
 def sad_candidates_pallas_batch(curs: jnp.ndarray, ref: jnp.ndarray,
@@ -276,16 +276,21 @@ def motion_compensate_pallas_gops(mv: jnp.ndarray, refs: jnp.ndarray,
 
 
 def _sad_kernel_gops(imin_ref, skip_ref, cur_ref, phase_ref, sel_ref,
-                     out_ref, buf_ref, *, k, step, reach, bs, w, c, f, pad):
-    """Multi-GOP variant: same as _sad_kernel, but the leading grid axis
-    selects the GOP (its own reference phases + its P-frames).
+                     out_ref, buf_ref, *, k, step, reach, bs, w, c, f,
+                     pad):
+    """Multi-GOP sweep: one program per (gop, block row, row-candidate);
+    the leading grid axis selects the GOP (its own reference phases + its
+    P-frames).
 
     skip_ref [B, nbh]: 1 marks a block row whose every block of every frame
     passes the saturating static check — its sweep output is fully
     overridden by select_mvs' static early-out (motion.py:109-116), so the
     MXU/VPU work is skipped entirely (the reference's early-out realized at
-    row granularity; VERDICT r2 Next #2). Skipped rows leave garbage SADs
-    in the output, which select_mvs never reads for static blocks."""
+    row granularity; VERDICT r2 Next #2 — ~48% of rows on the headline
+    content). Skipped rows leave garbage SADs that select_mvs never reads.
+    (A finer 128px-column-chunked variant was measured SLOWER despite an
+    82% skip rate: the per-chunk box-sum matmul N-dim collapses to 16
+    lanes, wasting 7/8 of the MXU — see round-3 notes in BASELINE.md.)"""
     g, bi = pl.program_id(0), pl.program_id(1)
 
     @pl.when(skip_ref[g, bi] == 0)
@@ -293,7 +298,7 @@ def _sad_kernel_gops(imin_ref, skip_ref, cur_ref, phase_ref, sel_ref,
         out_ref[0, 0, 0] = _sad_body(cur_ref[0], phase_ref[0, 0],
                                      sel_ref[...], buf_ref, k=k, step=step,
                                      reach=reach, bs=bs, w=w, c=c, f=f,
-                                     pad=pad)
+                                     off0=pad - reach)
 
 
 def sad_candidates_pallas_gops(curs: jnp.ndarray, refs: jnp.ndarray,
@@ -311,8 +316,10 @@ def sad_candidates_pallas_gops(curs: jnp.ndarray, refs: jnp.ndarray,
     bs, reach, step, k = plan.bs, plan.reach, plan.step, plan.k
     h, w, nbh, nbw = plan.h, plan.w, plan.nbh, plan.nbw
     b, f, c = curs.shape[0], curs.shape[1], curs.shape[2]
-    _check_scratch_budget(k, f, c, bs, w)
     pad = reach + bs
+    _check_scratch_budget(k, f, c, bs, w)
+    if row_skip is None:
+        row_skip = jnp.zeros((b, nbh), jnp.int32)
 
     curs32 = curs.astype(jnp.int32)
     max_row = (h - bs - reach) + step * (k - 1)
@@ -327,11 +334,9 @@ def sad_candidates_pallas_gops(curs: jnp.ndarray, refs: jnp.ndarray,
 
     i_min = jnp.asarray(plan.pos_i[:, 0], jnp.int32)
     sel = jnp.asarray(_sel_np(w, bs), jnp.bfloat16)
-    if row_skip is None:
-        row_skip = jnp.zeros((b, nbh), jnp.int32)
 
-    kernel = functools.partial(_sad_kernel_gops, k=k, step=step, reach=reach,
-                               bs=bs, w=w, c=c, f=f, pad=pad)
+    kernel = functools.partial(_sad_kernel_gops, k=k, step=step,
+                               reach=reach, bs=bs, w=w, c=c, f=f, pad=pad)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, nbh, k),
@@ -359,6 +364,102 @@ def sad_candidates_pallas_gops(curs: jnp.ndarray, refs: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, nbh, k, k * f, nbw), jnp.int32),
     )(i_min, row_skip.astype(jnp.int32), curs32, phases, sel)
-    # [B, nbh, K(ki), K(kj)*F, nbw] -> [B, F, nbh, nbw, K(ki), K(kj)]
     out = out.reshape(b, nbh, k, k, f, nbw)
     return out.transpose(0, 4, 1, 5, 2, 3)
+
+
+# ---------------------------------------------------------------------------
+# Motion compensation: recon[y, x] = ref[y + dy(block), x + dx(block)].
+#
+# The XLA formulation (vmap(dynamic_slice) per block, ops/motion.py
+# motion_compensate) lowers to a per-block gather — measured ~35 ms for 48
+# 640x360 frames, the single most expensive op of the fused pipeline. This
+# kernel is branchless instead: per (gop, block-row) program it holds the
+# 40-row reference strip rows [ci-reach, ci+reach+bs) in VMEM (5 aligned
+# row-octet DMAs), mixes columns with a one-hot [Wp, W] matrix on the MXU
+# (bf16 exact: one-hot weights and uint8-range values are both 8-bit
+# significands; f32 accumulate), and resolves the per-block row offset with
+# a 2*reach+1-way masked select. No gather anywhere.
+#
+# Validity precondition (guaranteed by the search, see
+# motion.motion_compensate_gops): every displacement satisfies |d| <= reach,
+# so strip row reach + d + u stays inside [0, bs + 2*reach).
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _comp_kernel(dipix_ref, djpix_ref, *refs_and_out, k_oct, bs, reach, pad,
+                 w, c, f):
+    """dipix/djpix [1, 1, F, W] i32; k_oct octet refs [1, C, bs, Wpp] i32;
+    out [1, F, C, 1, bs, W] i32. `pad` = bs-aligned row/col padding of the
+    reference; strip row r holds ref row ci - pad + r."""
+    oct_refs = refs_and_out[:k_oct]
+    out_ref = refs_and_out[k_oct]
+    strip = jnp.concatenate([r[0] for r in oct_refs], axis=1)  # [C, rows, Wpp]
+    rows = k_oct * bs
+    wpp = strip.shape[-1]
+    sb = strip.astype(jnp.bfloat16).reshape(c * rows, wpp)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (wpp, w), 0)
+    xd = jax.lax.broadcasted_iota(jnp.int32, (wpp, w), 1)
+    for fi in range(f):
+        dj = djpix_ref[0, 0, fi]                               # [W]
+        m = (xs == xd + dj[None, :] + pad).astype(jnp.bfloat16)
+        t = jax.lax.dot_general(
+            sb, m, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # [C*rows, W]
+        t = t.reshape(c, rows, w)
+        di = dipix_ref[0, 0, fi][None, None, :]                # [1, 1, W]
+        acc = jnp.zeros((c, bs, w), jnp.float32)
+        for d in range(-reach, reach + 1):
+            seg = jax.lax.slice(t, (0, pad + d, 0),
+                                (c, pad + d + bs, w))
+            acc = jnp.where(di == d, seg, acc)
+        out_ref[0, fi, :, 0] = acc.astype(jnp.int32)
+
+
+def motion_compensate_pallas_gops(mv: jnp.ndarray, refs: jnp.ndarray,
+                                  bs: int, reach: int) -> jnp.ndarray:
+    """mv [G, F, nbh, nbw, 2] (dx, dy); refs [G, C, H, W] int32 ->
+    recon [G, F, C, H, W] int32. Requires |mv| <= reach componentwise."""
+    g, f, nbh, nbw = mv.shape[:4]
+    c, h, w = refs.shape[1:]
+    pad_top = _round_up(reach, bs)      # strip starts bs-aligned at ci-pad_top
+    # octets covering strip rows [0, pad_top + reach + bs)
+    k_oct = -(-(pad_top + reach + bs) // bs)
+    pad_bot = k_oct * bs - bs - pad_top             # last octet in range
+    # columns padded by pad_top on the left so the kernel uses ONE offset for
+    # both axes (pad_top == reach whenever reach is a block multiple)
+    wpp = _round_up(w + 2 * pad_top, 128)
+    refp = jnp.pad(refs.astype(jnp.int32),
+                   ((0, 0), (0, 0), (pad_top, pad_bot),
+                    (pad_top, wpp - w - pad_top)))
+
+    # per-destination-pixel displacements (block-constant along each bs run),
+    # laid out [G, nbh, F, W] so the per-program block is (1, 1, F, W)
+    dipix = jnp.repeat(mv[..., 1], bs, axis=-1).astype(jnp.int32)
+    djpix = jnp.repeat(mv[..., 0], bs, axis=-1).astype(jnp.int32)
+    dipix = dipix.transpose(0, 2, 1, 3)                        # [G,nbh,F,W]
+    djpix = djpix.transpose(0, 2, 1, 3)
+
+    kernel = functools.partial(_comp_kernel, k_oct=k_oct, bs=bs, reach=reach,
+                               pad=pad_top, w=w, c=c, f=f)
+    pix_spec = pl.BlockSpec((1, 1, f, w), lambda gi, bi: (gi, bi, 0, 0),
+                            memory_space=pltpu.VMEM)
+    oct_specs = [
+        pl.BlockSpec((1, c, bs, wpp),
+                     functools.partial(lambda gi, bi, q: (gi, 0, bi + q, 0),
+                                       q=q),
+                     memory_space=pltpu.VMEM)
+        for q in range(k_oct)]
+    out = pl.pallas_call(
+        kernel,
+        grid=(g, nbh),
+        in_specs=[pix_spec, pix_spec] + oct_specs,
+        out_specs=pl.BlockSpec((1, f, c, 1, bs, w),
+                               lambda gi, bi: (gi, 0, 0, bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, f, c, nbh, bs, w), jnp.int32),
+    )(dipix, djpix, *([refp] * k_oct))
+    return out.reshape(g, f, c, h, w)
