@@ -14,10 +14,15 @@ from HBM for each of the ~121 candidate displacements (~9-30 ms/frame at
     (the GOP's P-frames): the per-candidate VPU work is ONE compare per
     byte — the wrap identity (a-b) mod 256 = a - b + 256*[a<b] splits the
     SAD into candidate-independent row sums plus a borrow count (_sad_body);
-  * borrow-count bits, candidate ref bytes, and cur bytes (all bf16-exact)
-    share ONE single-pass bf16 MXU matmul [(K*F+K+F)*C*bs, W] @ [W, nbw]
-    producing every 8-column box sum with exact f32 accumulation; the SAD
-    is assembled from those by cheap [*, nbw]-wide row reductions.
+  * borrow-count bits, candidate ref bytes - 128, and cur bytes - 128
+    (all int8-exact) share ONE single-pass INT8 MXU matmul
+    [(K*F+K+F)*C*bs, W] @ [W, nbw] (394 TOPS on v5e) producing every
+    8-column box sum with exact int32 accumulation (the -128 offsets cancel
+    in the SAD assembly); the SAD is assembled from the box sums by cheap
+    [*, nbw]-wide row reductions;
+  * block rows whose every block passes the saturating static check are
+    skipped outright (select_mvs overrides them), with their DMA redirected
+    to block 0 so consecutive static rows also skip the fetch.
 
 Column clamping (the first ceil(reach/bs) block columns have an absolute
 candidate grid) is NOT handled here — `motion_search_batch` stitches those
@@ -41,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vcs_h264_tpu.ops.motion import MotionSearchPlan
 
-# VMEM is ~16 MiB/core on v5e; the SAD kernel's bf16 scratch is
+# VMEM is ~16 MiB/core on v5e; the SAD kernel's int8 scratch is
 # (K*F + K + F)*C*bs rows of W and grows linearly with the GOP length F.
 # Budget it explicitly so a long --gop pattern fails with a clear message
 # instead of an opaque Mosaic allocation error (ADVICE r2).
@@ -49,7 +54,7 @@ _VMEM_SCRATCH_BUDGET = 8 * 1024 * 1024
 
 
 def _check_scratch_budget(k: int, f: int, c: int, bs: int, w: int) -> None:
-    scratch = (k * f + k + f) * c * bs * w * 2
+    scratch = (k * f + k + f) * c * bs * w
     if scratch > _VMEM_SCRATCH_BUDGET:
         raise ValueError(
             f"SAD kernel VMEM scratch {scratch / 2**20:.1f} MiB exceeds the "
@@ -61,45 +66,46 @@ def _check_scratch_budget(k: int, f: int, c: int, bs: int, w: int) -> None:
 @functools.lru_cache(maxsize=None)
 def _sel_np(w: int, bs: int) -> np.ndarray:
     """[W, W/bs] 0/1 block-column summing matrix (MXU operand)."""
-    return np.kron(np.eye(w // bs, dtype=np.float32),
-                   np.ones((bs, 1), np.float32))
+    return np.kron(np.eye(w // bs, dtype=np.int8),
+                   np.ones((bs, 1), np.int8))
 
 
 def _sad_body(cur, ref_rows, sel, buf_ref, *, k, step, reach, bs, w, c, f,
               off0):
     """Shared SAD body: cur [F, C, bs, W] i32, ref_rows [C, bs, Wp] i32,
-    sel [W, nbw] bf16 0/1, buf_ref [(K*F + K + F)*C*bs, W] bf16 scratch ->
+    sel [W, nbw] int8 0/1, buf_ref [(K*F + K + F)*C*bs, W] int8 scratch ->
     [K*F, nbw] i32 SADs.
 
     Uses the wrap identity (seg - cur) mod 256 = seg - cur + 256*[seg < cur]
     (both operands in [0, 255]): the only per-candidate VPU work is the
-    compare. The borrow-count bits, the candidate's raw ref bytes, and the
-    cur bytes (all bf16-exact: {0,1} and <= 255) share ONE single-pass bf16
-    MXU matmul against the 0/1 block-column matrix, which yields every
-    8-column box sum with f32 accumulation — exact, since each product is
-    exact and each accumulated sum is an integer < 2^24. Only cheap 24-row
-    reductions of the [*, nbw] box sums remain on the VPU. (The old kernel
-    did a full wrap-diff + 24-row reduction per candidate on the VPU and
-    needed a 6-pass HIGHEST f32 matmul for the box sums.)"""
+    compare. The borrow-count bits, the candidate's ref bytes - 128, and
+    the cur bytes - 128 (all int8-exact) share ONE single-pass INT8 MXU
+    matmul (394 TOPS on v5e — 2x the bf16 path this replaces) against the
+    0/1 block-column matrix with exact int32 accumulation. The -128 offset
+    shifts every seg and cur box sum by the same -128*bs per entry, and the
+    SAD assembly r_box - c_box subtracts two equally-offset sums, so the
+    offsets cancel exactly — no correction term. Only cheap 24-row
+    reductions of the [*, nbw] box sums remain on the VPU."""
     rows = c * bs
     n_cmp, n_seg = k * f * rows, k * rows
     for kj in range(k):
         off = off0 + step * kj
         seg = jax.lax.slice(ref_rows, (0, 0, off), (c, bs, off + w))
-        cmp = (seg[None] < cur).astype(jnp.bfloat16)         # [F, C, bs, W]
+        cmp = (seg[None] < cur).astype(jnp.int8)             # [F, C, bs, W]
         buf_ref[kj * f * rows:(kj + 1) * f * rows] = cmp.reshape(f * rows, w)
         buf_ref[n_cmp + kj * rows:n_cmp + (kj + 1) * rows] = (
-            seg.astype(jnp.bfloat16).reshape(rows, w))
-    buf_ref[n_cmp + n_seg:] = cur.astype(jnp.bfloat16).reshape(f * rows, w)
+            (seg - 128).astype(jnp.int8).reshape(rows, w))
+    buf_ref[n_cmp + n_seg:] = (cur - 128).astype(jnp.int8).reshape(
+        f * rows, w)
     box = jax.lax.dot_general(
         buf_ref[...], sel,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                  # [n_rows, nbw]
+        preferred_element_type=jnp.int32)                    # [n_rows, nbw]
     nbw = box.shape[-1]
     cnt = box[:n_cmp].reshape(k, f, rows, nbw).sum(axis=2)   # [K, F, nbw]
     r_box = box[n_cmp:n_cmp + n_seg].reshape(k, rows, nbw).sum(axis=1)
     c_box = box[n_cmp + n_seg:].reshape(f, rows, nbw).sum(axis=1)
-    sad = 256.0 * cnt + r_box[:, None] - c_box[None]         # [K, F, nbw]
+    sad = 256 * cnt + r_box[:, None] - c_box[None]           # [K, F, nbw]
     return sad.reshape(k * f, nbw).astype(jnp.int32)
 
 
@@ -107,7 +113,7 @@ def _sad_kernel(imin_ref, cur_ref, phase_ref, sel_ref, out_ref, buf_ref, *,
                 k, step, reach, bs, w, c, f, pad):
     """cur_ref [F, C, bs, W] i32; phase_ref [1, C, bs, Wp] i32 (the
     candidate's ref rows, aligned by the index map); out_ref [1, 1, K*F, nbw]
-    i32; buf_ref [(K*F + K + F)*C*bs, W] bf16 scratch."""
+    i32; buf_ref [(K*F + K + F)*C*bs, W] int8 scratch."""
     out_ref[0, 0] = _sad_body(cur_ref[...], phase_ref[0], sel_ref[...],
                               buf_ref, k=k, step=step, reach=reach, bs=bs,
                               w=w, c=c, f=f, off0=pad - reach)
@@ -138,7 +144,7 @@ def sad_candidates_pallas_batch(curs: jnp.ndarray, ref: jnp.ndarray,
                         for q in range(bs)])               # [bs, C, Hrows, Wp]
 
     i_min = jnp.asarray(plan.pos_i[:, 0], jnp.int32)       # [nbh]
-    sel = jnp.asarray(_sel_np(w, bs), jnp.bfloat16)
+    sel = jnp.asarray(_sel_np(w, bs), jnp.int8)
 
     kernel = functools.partial(_sad_kernel, k=k, step=step, reach=reach,
                                bs=bs, w=w, c=c, f=f, pad=pad)
@@ -160,7 +166,7 @@ def sad_candidates_pallas_batch(curs: jnp.ndarray, ref: jnp.ndarray,
                                lambda bi, ki, im: (bi, ki, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM(((k * f + k + f) * c * bs, w),
-                                   jnp.bfloat16)],
+                                   jnp.int8)],
     )
     out = pl.pallas_call(
         kernel,
@@ -333,7 +339,7 @@ def sad_candidates_pallas_gops(curs: jnp.ndarray, refs: jnp.ndarray,
                         for q in range(bs)], axis=1)   # [B, bs, C, Hrows, Wp]
 
     i_min = jnp.asarray(plan.pos_i[:, 0], jnp.int32)
-    sel = jnp.asarray(_sel_np(w, bs), jnp.bfloat16)
+    sel = jnp.asarray(_sel_np(w, bs), jnp.int8)
 
     kernel = functools.partial(_sad_kernel_gops, k=k, step=step,
                                reach=reach, bs=bs, w=w, c=c, f=f, pad=pad)
@@ -341,14 +347,21 @@ def sad_candidates_pallas_gops(curs: jnp.ndarray, refs: jnp.ndarray,
         num_scalar_prefetch=2,
         grid=(b, nbh, k),
         in_specs=[
+            # skipped rows redirect their DMA to block 0: consecutive
+            # static rows then present the SAME block index and Mosaic
+            # elides the refetch, so a skipped program costs neither
+            # compute (pl.when) nor bandwidth
             pl.BlockSpec((1, f, c, bs, w),
-                         lambda g, bi, ki, im, rs: (g, 0, 0, bi, 0),
+                         lambda g, bi, ki, im, rs: (
+                             g, 0, 0,
+                             jnp.where(rs[g, bi] == 1, 0, bi), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c, bs, wp),
-                         lambda g, bi, ki, im, rs: (g, (step * ki) % bs, 0,
-                                                    (im[bi] + step * ki
-                                                     - (step * ki) % bs)
-                                                    // bs, 0),
+                         lambda g, bi, ki, im, rs: (
+                             g, (step * ki) % bs, 0,
+                             jnp.where(rs[g, bi] == 1, 0,
+                                       (im[bi] + step * ki
+                                        - (step * ki) % bs) // bs), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((w, nbw), lambda g, bi, ki, im, rs: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -357,7 +370,7 @@ def sad_candidates_pallas_gops(curs: jnp.ndarray, refs: jnp.ndarray,
                                lambda g, bi, ki, im, rs: (g, bi, ki, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM(((k * f + k + f) * c * bs, w),
-                                   jnp.bfloat16)],
+                                   jnp.int8)],
     )
     out = pl.pallas_call(
         kernel,
