@@ -211,20 +211,24 @@ def _features_and_dc(u, l, ul, ur, m_u, m_l, m_ur):
 
 
 def _all_preds(feats, dc, s_ref):
-    """-> preds [144, B] i32: 9 modes x 16 positions (DC rows overlaid)."""
+    """-> preds [144, B] f32 (exact integers <= 765): 9 modes x 16
+    positions (DC rows overlaid). Staying in f32 through the SAD avoids two
+    full-panel dtype converts per diagonal — every value and every 16-term
+    SAD below is an exact f32 integer (< 2^24)."""
     p = jax.lax.dot_general(
         s_ref[...], feats, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    p = p.astype(jnp.int32)
     rows = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
     lo, hi = _DC_MODE * _NPOS, (_DC_MODE + 1) * _NPOS
-    return jnp.where((rows >= lo) & (rows < hi), dc, p)
+    return jnp.where((rows >= lo) & (rows < hi),
+                     dc.astype(jnp.float32), p)
 
 
 def _core_fwd_quant(x16, kf_ref, gk_ref, qstep):
-    """vec residual [16, B] i32 -> quantized coefficients [16, B] i32."""
+    """vec residual [16, B] f32 (exact ints) -> quantized coefficients
+    [16, B] i32."""
     coef = jax.lax.dot_general(
-        kf_ref[...], x16.astype(jnp.float32),
+        kf_ref[...], x16,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(jnp.int32)
     return _iround_div(coef * gk_ref[...], 400 * qstep)
@@ -271,13 +275,16 @@ def _enc_substep(oblk, carry, masks, s_ref, kf_ref, ki_ref, gk_ref,
     r1, c1, r2, c3 = carry
     u, l, ul, ur, m_u, m_l, m_ur = _neighbors(r1, c1, r2, c3, masks)
     feats, dc = _features_and_dc(u, l, ul, ur, m_u, m_l, m_ur)
-    preds = _all_preds(feats, dc, s_ref)                  # [144, B]
+    preds = _all_preds(feats, dc, s_ref)                  # [144, B] f32
+    oblk_f = oblk.astype(jnp.float32)
 
     # strict-< first-min search over the 9 per-mode SADs (intraframe.py:
-    # 79-144): start from the 16*255 sentinel; earlier modes win ties
+    # 79-144): start from the 16*255 sentinel; earlier modes win ties.
+    # All quantities are exact f32 integers, so < and the selections match
+    # the integer semantics bit-for-bit.
     p9 = preds.reshape(_NMODE, _NPOS, B)
-    d9 = jnp.sum(jnp.abs(p9 - oblk[None]), axis=1)        # [9, B]
-    best = jnp.full((1, B), 16 * 255, jnp.int32)
+    d9 = jnp.sum(jnp.abs(p9 - oblk_f[None]), axis=1)      # [9, B] f32
+    best = jnp.full((1, B), float(16 * 255), jnp.float32)
     mode = jnp.zeros((1, B), jnp.int32)
     esc = jnp.ones((1, B), jnp.bool_)
     for m in range(_NMODE):
@@ -286,11 +293,12 @@ def _enc_substep(oblk, carry, masks, s_ref, kf_ref, ki_ref, gk_ref,
         mode = jnp.where(better, m, mode)
         esc = esc & ~better
     sel = ((mode == jax.lax.broadcasted_iota(jnp.int32, (_NMODE, B), 0))
-           & ~esc).astype(jnp.int32)                      # [9, B]
-    pred16 = jnp.sum(p9 * sel[:, None], axis=0)           # [16, B]
+           & ~esc).astype(jnp.float32)                    # [9, B]
+    pred16 = jnp.sum(p9 * sel[:, None], axis=0)           # [16, B] f32 exact
 
-    q = _core_fwd_quant(oblk - pred16, kf_ref, gk_ref, qstep)
-    rec = jnp.clip(pred16 + _core_dequant_inv(q, ki_ref, qstep), 0, 255)
+    q = _core_fwd_quant(oblk_f - pred16, kf_ref, gk_ref, qstep)
+    rec = jnp.clip(pred16.astype(jnp.int32)
+                   + _core_dequant_inv(q, ki_ref, qstep), 0, 255)
     return (q, mode, esc, rec)
 
 
@@ -329,10 +337,11 @@ def _dec_substep(res, mode, live, carry, masks, s_ref, ki_ref,
         res = _core_dequant_inv(res, ki_ref, qstep)
     u, l, ul, ur, m_u, m_l, m_ur = _neighbors(r1, c1, r2, c3, masks)
     feats, dc = _features_and_dc(u, l, ul, ur, m_u, m_l, m_ur)
-    preds = _all_preds(feats, dc, s_ref)
+    preds = _all_preds(feats, dc, s_ref)                  # [144, B] f32
     sel = ((mode == jax.lax.broadcasted_iota(jnp.int32, (_NMODE, B), 0))
-           & live).astype(jnp.int32)
-    pred16 = jnp.sum(preds.reshape(_NMODE, _NPOS, B) * sel[:, None], axis=0)
+           & live).astype(jnp.float32)
+    pred16 = jnp.sum(preds.reshape(_NMODE, _NPOS, B) * sel[:, None],
+                     axis=0).astype(jnp.int32)
     block = pred16 + res
     if clip:
         block = jnp.clip(block, 0, 255)
