@@ -169,6 +169,23 @@ def _kron_mats():
     return np.kron(cf, cf), np.kron(ci2, ci2), gk
 
 
+@functools.lru_cache(maxsize=None)
+def _carry_select() -> np.ndarray:
+    """[9, 16] 0/1 matrix extracting a block's carry pixels from its
+    vec-position layout: rows 0-3 = bottom row (p = 12..15), rows 4-7 =
+    right column (p = 3, 7, 11, 15), row 8 = bottom-right corner (p = 15).
+    A tiny matmul yields all of them in CANONICAL vector layout — sublane
+    slices like block16[12:16] carry offset layouts that Mosaic cannot
+    concatenate (lane-shift) or keep in registers across sub-steps."""
+    e = np.zeros((9, 16), np.float32)
+    for i, p_ in enumerate([12, 13, 14, 15]):
+        e[i, p_] = 1.0
+    for i, p_ in enumerate([3, 7, 11, 15]):
+        e[4 + i, p_] = 1.0
+    e[8, 15] = 1.0
+    return e
+
+
 def _shift_m1(x):
     """result[i] = x[i - 1], zero shifted in. In the skewed layout every
     lane IS its block row bi, so an up-ish neighbor always sits one lane
@@ -179,11 +196,16 @@ def _shift_m1(x):
     return jnp.concatenate([z, x[..., :-1]], axis=-1)
 
 
-def _neighbors(row1, col1, row2, cor3, masks):
+def _neighbors(carry, masks):
     """u/l [4,B], ul [1,B], ur [4,B] with the reference 128 fills + ur
     fallback. masks [4, B] i32. Skewed-layout neighbor lanes: u -> diag t-2
     lane bi-1, l -> diag t-1 lane bi, ul -> diag t-3 lane bi-1, ur -> diag
-    t-1 lane bi-1 (all fixed shifts)."""
+    t-1 lane bi-1 (all fixed shifts). carry = (row1, col1, row2, cor1,
+    cor2, cor3): bottom row + right column of t-1, bottom row of t-2, and
+    the PIPELINED corners of t-1/t-2/t-3 — corners ride their own [1, B]
+    stages so no sub-step ever slices a register value (slices carry offset
+    layouts Mosaic cannot shift or concatenate)."""
+    row1, col1, row2, _, _, cor3 = carry
     fill = jnp.int32(128)
     m_u, m_l = masks[0:1] != 0, masks[1:2] != 0           # [1, B]
     m_ul, m_ur = masks[2:3] != 0, masks[3:4] != 0
@@ -243,23 +265,29 @@ def _core_dequant_inv(q16, ki_ref, qstep):
     return _iround_div(r, 4)
 
 
-def _carry_rows(block16):
+def _carry_rows(block16, e_ref):
     """(bottom row [4,B], right column [4,B], corner [1,B]) of a diagonal's
-    blocks in vec-position layout (p = r*4 + c)."""
-    bottom = block16[12:16]
-    right = jnp.concatenate([block16[3:4], block16[7:8],
-                             block16[11:12], block16[15:16]], axis=0)
-    return bottom, right, block16[15:16]
+    blocks in vec-position layout (p = r*4 + c), extracted by three tiny
+    0/1 matmuls so the results have canonical layouts (see _carry_select)
+    and can ride registers across sub-steps."""
+    blk = block16.astype(jnp.float32)
+
+    def sel(rows):
+        return jax.lax.dot_general(
+            rows, blk, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+
+    e = e_ref[...]
+    return sel(e[0:4]), sel(e[4:8]), sel(e[8:9])
 
 
-def _init_carry(t, row1, col1, row2, cor3, B):
+def _init_carry(t, refs, B):
     @pl.when(t == 0)
     def _():
         z = jnp.zeros((4, B), jnp.int32)
-        row1[...] = z
-        col1[...] = z
-        row2[...] = z
-        cor3[...] = jnp.zeros((1, B), jnp.int32)
+        z1 = jnp.zeros((1, B), jnp.int32)
+        for r, zz in zip(refs, (z, z, z, z1, z1, z1)):
+            r[...] = zz
 
 
 # Each grid step processes _KDIAG consecutive anti-diagonals: the carry
@@ -270,10 +298,9 @@ def _init_carry(t, row1, col1, row2, cor3, B):
 _KDIAG = 4
 
 
-def _enc_substep(oblk, carry, masks, s_ref, kf_ref, ki_ref, gk_ref,
+def _enc_substep(oblk, carry, masks, s_ref, kf_ref, ki_ref, gk_ref, e_ref,
                  qstep, B):
-    r1, c1, r2, c3 = carry
-    u, l, ul, ur, m_u, m_l, m_ur = _neighbors(r1, c1, r2, c3, masks)
+    u, l, ul, ur, m_u, m_l, m_ur = _neighbors(carry, masks)
     feats, dc = _features_and_dc(u, l, ul, ur, m_u, m_l, m_ur)
     preds = _all_preds(feats, dc, s_ref)                  # [144, B] f32
     oblk_f = oblk.astype(jnp.float32)
@@ -299,43 +326,37 @@ def _enc_substep(oblk, carry, masks, s_ref, kf_ref, ki_ref, gk_ref,
     q = _core_fwd_quant(oblk_f - pred16, kf_ref, gk_ref, qstep)
     rec = jnp.clip(pred16.astype(jnp.int32)
                    + _core_dequant_inv(q, ki_ref, qstep), 0, 255)
-    return (q, mode, esc, rec)
+    bottom, right, corner = _carry_rows(rec, e_ref)
+    new_carry = (bottom, right, carry[0], corner, carry[3], carry[4])
+    return (q, mode, esc, rec), new_carry
 
 
-def _advance_carry(row1, col1, row2, cor3, r1_old, r2_old, block):
-    """Scratch-mediated carry advance: values round-trip through VMEM
-    scratch between sub-steps (stores normalize vector layouts — Mosaic
-    cannot concatenate register values whose lane offsets differ)."""
-    bottom, right, _ = _carry_rows(block)
-    cor3[...] = r2_old[3:4]
-    row2[...] = r1_old
-    row1[...] = bottom
-    col1[...] = right
-
-
-def _enc_kernel(orig_ref, mask_ref, s_ref, kf_ref, ki_ref, gk_ref,
-                q_ref, mode_ref, esc_ref, rec_ref,
-                row1, col1, row2, cor3, *, qstep, B):
+def _enc_kernel(orig_ref, mask_ref, s_ref, kf_ref, ki_ref, gk_ref, e_ref,
+                q_ref, mode_ref, esc_ref, rec_ref, *scratch, qstep, B):
     t0 = pl.program_id(0)
-    _init_carry(t0, row1, col1, row2, cor3, B)
+    _init_carry(t0, scratch, B)
+    # the carry rides REGISTERS across the k sub-steps (all entries have
+    # canonical layouts thanks to the _carry_select matmuls and the
+    # pipelined corners); scratch is only read once per grid step and
+    # written once at the end
+    carry = tuple(r[...] for r in scratch)
     for j in range(_KDIAG):
-        carry = (row1[...], col1[...], row2[...], cor3[...])
-        q, mode, esc, rec = _enc_substep(
+        (q, mode, esc, rec), carry = _enc_substep(
             orig_ref[0, j], carry, mask_ref[0, j],
-            s_ref, kf_ref, ki_ref, gk_ref, qstep, B)
+            s_ref, kf_ref, ki_ref, gk_ref, e_ref, qstep, B)
         q_ref[0, j] = q
         rec_ref[0, j] = rec
         mode_ref[0, j] = mode
         esc_ref[0, j] = esc.astype(jnp.int32)
-        _advance_carry(row1, col1, row2, cor3, carry[0], carry[2], rec)
+    for r, v in zip(scratch, carry):
+        r[...] = v
 
 
-def _dec_substep(res, mode, live, carry, masks, s_ref, ki_ref,
+def _dec_substep(res, mode, live, carry, masks, s_ref, ki_ref, e_ref,
                  qstep, clip, B):
-    r1, c1, r2, c3 = carry
     if qstep:
         res = _core_dequant_inv(res, ki_ref, qstep)
-    u, l, ul, ur, m_u, m_l, m_ur = _neighbors(r1, c1, r2, c3, masks)
+    u, l, ul, ur, m_u, m_l, m_ur = _neighbors(carry, masks)
     feats, dc = _features_and_dc(u, l, ul, ur, m_u, m_l, m_ur)
     preds = _all_preds(feats, dc, s_ref)                  # [144, B] f32
     sel = ((mode == jax.lax.broadcasted_iota(jnp.int32, (_NMODE, B), 0))
@@ -345,22 +366,24 @@ def _dec_substep(res, mode, live, carry, masks, s_ref, ki_ref,
     block = pred16 + res
     if clip:
         block = jnp.clip(block, 0, 255)
-    return block
+    bottom, right, corner = _carry_rows(block, e_ref)
+    return block, (bottom, right, carry[0], corner, carry[3], carry[4])
 
 
-def _dec_kernel(res_ref, mask_ref, mode_in, esc_in, s_ref, ki_ref,
-                out_ref, row1, col1, row2, cor3, *, qstep, clip, B):
+def _dec_kernel(res_ref, mask_ref, mode_in, esc_in, s_ref, ki_ref, e_ref,
+                out_ref, *scratch, qstep, clip, B):
     """qstep > 0: res_ref holds quantized coefficients (dequantized here);
     qstep == 0: res_ref holds exact residuals (lossless path)."""
     t0 = pl.program_id(0)
-    _init_carry(t0, row1, col1, row2, cor3, B)
+    _init_carry(t0, scratch, B)
+    carry = tuple(r[...] for r in scratch)
     for j in range(_KDIAG):
-        carry = (row1[...], col1[...], row2[...], cor3[...])
-        block = _dec_substep(
+        block, carry = _dec_substep(
             res_ref[0, j], mode_in[0, j], esc_in[0, j] == 0, carry,
-            mask_ref[0, j], s_ref, ki_ref, qstep, clip, B)
+            mask_ref[0, j], s_ref, ki_ref, e_ref, qstep, clip, B)
         out_ref[0, j] = block
-        _advance_carry(row1, col1, row2, cor3, carry[0], carry[2], block)
+    for r, v in zip(scratch, carry):
+        r[...] = v
 
 
 # Mosaic stack-allocates the kernel body's intermediates at peak liveness;
@@ -458,7 +481,7 @@ def _specs(B):
     const = lambda shape: pl.BlockSpec(shape, lambda t: (0, 0),
                                        memory_space=pltpu.VMEM)
     scratch = [pltpu.VMEM((4, B), jnp.int32)] * 3 + \
-              [pltpu.VMEM((1, B), jnp.int32)]
+              [pltpu.VMEM((1, B), jnp.int32)] * 3
     return blk, msk, sca, const, scratch
 
 
@@ -466,7 +489,7 @@ def _consts():
     s_np = _selection_matrix()
     kf_np, ki_np, gk_np = _kron_mats()
     return (jnp.asarray(s_np), jnp.asarray(kf_np), jnp.asarray(ki_np),
-            jnp.asarray(gk_np))
+            jnp.asarray(gk_np), jnp.asarray(_carry_select()))
 
 
 def encode_lossy_planes(planes: jnp.ndarray, qstep: int,
@@ -480,12 +503,13 @@ def encode_lossy_planes(planes: jnp.ndarray, qstep: int,
     k = _KDIAG
     masks = _skew_masks(nbh, nbw, n)
     Tp = masks.shape[0]
-    s_m, kf, ki, gk = _consts()
+    s_m, kf, ki, gk, e_m = _consts()
     blk, msk, sca, const, scratch = _specs(B)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0, grid=(Tp // k,),
         in_specs=[blk, msk, const((_NMODE * _NPOS, _NFEAT)),
-                  const((16, 16)), const((16, 16)), const((16, 1))],
+                  const((16, 16)), const((16, 16)), const((16, 1)),
+                  const((9, 16))],
         out_specs=[blk, sca, sca, blk],
         scratch_shapes=scratch)
     orig_p = _skew(planes).reshape(Tp // k, k, 16, B)
@@ -498,7 +522,7 @@ def encode_lossy_planes(planes: jnp.ndarray, qstep: int,
                    jax.ShapeDtypeStruct((Tp // k, k, 16, B), jnp.int32)],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(orig_p, masks.reshape(Tp // k, k, 4, B), s_m, kf, ki, gk)
+    )(orig_p, masks.reshape(Tp // k, k, 4, B), s_m, kf, ki, gk, e_m)
     unv = lambda x: _unskew(x.reshape(Tp, 16, B), n, h, w)
     uns = lambda x: _unskew_scalar(x.reshape(Tp, 1, B), n, nbh, nbw)
     return (unv(q_l), uns(mode_l), uns(esc_l) != 0, unv(rec_l))
@@ -517,12 +541,12 @@ def decode_planes(res_planes: jnp.ndarray, modes: jnp.ndarray,
     k = _KDIAG
     masks = _skew_masks(nbh, nbw, n)
     Tp = masks.shape[0]
-    s_m, _, ki, _ = _consts()
+    s_m, _, ki, _, e_m = _consts()
     blk, msk, sca, const, scratch = _specs(B)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0, grid=(Tp // k,),
         in_specs=[blk, msk, sca, sca, const((_NMODE * _NPOS, _NFEAT)),
-                  const((16, 16))],
+                  const((16, 16)), const((9, 16))],
         out_specs=blk,
         scratch_shapes=scratch)
     out = pl.pallas_call(
@@ -536,5 +560,5 @@ def decode_planes(res_planes: jnp.ndarray, modes: jnp.ndarray,
       _skew_scalar(modes.astype(jnp.int32), nbh, nbw).reshape(
           Tp // k, k, 1, B),
       _skew_scalar(escape.astype(jnp.int32), nbh, nbw).reshape(
-          Tp // k, k, 1, B), s_m, ki)
+          Tp // k, k, 1, B), s_m, ki, e_m)
     return _unskew(out.reshape(Tp, 16, B), n, h, w)
