@@ -25,6 +25,34 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    The full suite compiles hundreds of CPU XLA programs; by the time it
+    reaches the late modules the accumulated executables + buffers
+    intermittently abort/segfault fresh compiles (observed twice at
+    tests/test_rd_points.py when run after the whole suite; every module
+    passes standalone). Bounding the live set per module fixes it at the
+    cost of some recompilation (module-level sharing is minimal anyway).
+    The repo-level jit wrappers cache by function identity, so their
+    lru_caches are also cleared to drop references."""
+    yield
+    import jax
+    from vcs_h264_tpu.models import pipeline
+    for fn in (pipeline.jit_encode_gop, pipeline.jit_decode_gop,
+               pipeline.jit_encode_gop_batch, pipeline.jit_decode_gop_batch,
+               pipeline.jit_decode_gop_batch_u8, pipeline.jit_decode_gop_u8):
+        fn.cache_clear()
+    try:
+        from vcs_h264_tpu.models import pipeline420
+        pipeline420.jit_encode_gop_batch_420.cache_clear()
+        pipeline420.jit_decode_gop_batch_420_u8.cache_clear()
+    except Exception:
+        pass
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
