@@ -737,14 +737,6 @@ def core4_dequant_inv(q: jnp.ndarray, qstep: int) -> jnp.ndarray:
     return _iround_div(r, 4)
 
 
-def _plane_blocks4(plane, nbh, nbw):
-    return plane.reshape(nbh, 4, nbw, 4).transpose(0, 2, 1, 3)
-
-
-def _blocks4_plane(blocks, h, w):
-    return blocks.transpose(0, 2, 1, 3).reshape(h, w)
-
-
 # Position-major core transform (blocks [4, 4, ...]): the 4x4 constant
 # matrices contract over the two LEADING axes, unrolled into +-1/+-2 integer
 # multiply-adds over dense [...] vectors (the trailing axes carry the
