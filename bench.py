@@ -267,6 +267,28 @@ def main():
             result["encode_decode_fps_1280x720"] = prod_bench(
                 i7, p7, 4, "production 720p")
             print(json.dumps(result), flush=True)
+        if left() > 45:
+            # the 4:2:0 codec mode (lossy intra + luma search + chroma on
+            # halved vectors), 640x352 (2*bs multiple)
+            from vcs_h264_tpu.models import pipeline420
+            ccfg = CodecConfig(quant_mode="rounded", chroma_420=True,
+                               intra_i=True, intra_qstep=QSTEP)
+            i_c = i_b[..., :352, :]
+            p_c = p_b[..., :352, :]
+
+            @jax.jit
+            def loop_420(i_f, p_f):
+                def step(it):
+                    enc = pipeline420.encode_gop_batch_420(
+                        jnp.roll(i_f, it & 7, axis=-1),
+                        jnp.roll(p_f, it & 7, axis=-1), ccfg)
+                    dec = pipeline420.decode_gop_batch_420(enc, ccfg)
+                    return jnp.sum(dec) + jnp.sum(enc.mv)
+                return fused_loop(step, 8)
+
+            dt420 = _timed(loop_420, i_c, p_c)
+            result["chroma420_fps_640x352"] = round(8 * b * g / dt420, 1)
+            print(json.dumps(result), flush=True)
     except Exception as e:                              # extras must never
         result["extras_error"] = repr(e)                # kill the headline
         print(json.dumps(result), flush=True)
