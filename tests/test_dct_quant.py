@@ -27,6 +27,36 @@ def test_dct2_known_flat_block():
     np.testing.assert_allclose(got, want, atol=1e-3)
 
 
+def test_dct2_tutorial_worked_example():
+    """The dct2Test worked example (DCTCompression/dct.py:118-134): the
+    tutorial block the reference verified its matrix DCT against, pinned
+    here with its known transform (Cabeen & Gent DCT tutorial, computed in
+    float64 from the orthonormal matrix)."""
+    block = np.array([
+        [26, -5, -5, -5, -5, -5, -5, 8],
+        [64, 52, 8, 26, 26, 26, 8, -18],
+        [126, 70, 26, 26, 52, 26, -5, -5],
+        [111, 52, 8, 52, 52, 38, -5, -5],
+        [52, 26, 8, 39, 38, 21, 8, 8],
+        [0, 8, -5, 8, 26, 52, 70, 26],
+        [-5, -23, -18, 21, 8, 8, 52, 38],
+        [-18, 8, -5, -5, -5, 8, 26, 8]], dtype=np.float32)
+    want = np.array([
+        [162.25, 40.60, 20.00, 72.33, 30.25, 12.48, -19.65, -11.50],
+        [30.48, 108.42, 10.47, 32.29, 27.70, -15.50, 18.41, -2.00],
+        [-94.14, -60.05, 12.30, -43.42, -31.29, 6.07, -3.33, 7.14],
+        [-38.57, -83.36, -5.41, -22.17, -13.52, 15.49, -1.33, 3.53],
+        [-31.25, 17.93, -5.52, -12.36, 14.25, -5.96, 11.49, -6.02],
+        [-0.86, -11.76, 12.78, 0.18, 28.07, 12.57, 8.35, 2.94],
+        [4.63, -2.42, 12.17, 6.56, -18.70, -12.75, 7.70, 12.03],
+        [-9.95, 11.19, 7.81, -16.29, 21.46, 0.02, 5.91, 10.68]])
+    got = np.asarray(dct.dct2_blocks(jnp.asarray(block)))
+    np.testing.assert_allclose(got, want, atol=0.02)
+    # and the float64 oracle agrees with the pin to its printed precision
+    np.testing.assert_allclose(oracle_dct2(block.astype(np.float64)), want,
+                               atol=5e-3)
+
+
 def test_dct_idct_roundtrip(rng):
     x = rng.integers(-128, 128, (50, 8, 8)).astype(np.float32)
     y = np.asarray(dct.idct2_blocks(dct.dct2_blocks(jnp.asarray(x))))

@@ -45,6 +45,35 @@ def test_no_dct_bit_exact(rng):
         np.testing.assert_array_equal(g, w)
 
 
+@pytest.mark.parametrize("bs", [4, 16])
+def test_no_dct_block_size_sweep_bit_exact(rng, bs):
+    """e2e at the reference's swept block sizes (no-DCT configs only —
+    the reference's sweep videos were motion-only; see
+    CodecConfig.__post_init__)."""
+    frames = _small_frames(rng, h=6 * bs, w=8 * bs)
+    reach, step = 2 * bs, max(1, round(bs / 3))
+    cfg = CodecConfig(block_size=bs, with_dct=False, search_reach=reach,
+                      search_step=step)
+    got, _ = _roundtrip(frames, cfg)
+    want = oracle_encode_decode(frames, bs=bs, with_dct=False, reach=reach,
+                                step=step)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
+def test_with_dct_rejects_nonstandard_block_size():
+    """with_dct + bs != 8 must fail loudly (the 8x8 JPEG tables don't
+    generalize), not shape-crash inside quant_tables."""
+    with pytest.raises(ValueError, match="block_size=8"):
+        CodecConfig(block_size=16)
+    with pytest.raises(ValueError, match="block_size=8"):
+        CodecConfig(block_size=4, with_residual=True)
+    # no-DCT configs at swept sizes are accepted
+    CodecConfig(block_size=4, with_dct=False)
+    CodecConfig(block_size=16, with_dct=False, with_residual=False)
+
+
 def test_no_residual_bit_exact(rng):
     frames = _small_frames(rng, n=5)
     cfg = CodecConfig(with_residual=False, with_dct=False)
@@ -208,3 +237,25 @@ def test_encoder_metrics_logging(tmp_path, rng):
     gop_recs = [r for r in recs if r["event"] == "gop"]
     assert all("static_block_ratio" in r for r in gop_recs)
     assert all("nonzero_coeff_ratio" in r for r in gop_recs)
+
+
+def test_encoder_profile_stage_timings(tmp_path, rng):
+    """profile=True routes per-stage wall clock (utils/profiling.StageTimer)
+    into the JSONL metrics stream."""
+    import json
+    from vcs_h264_tpu.utils.metrics import MetricsLogger
+    frames = _small_frames(rng, n=8)
+    path = tmp_path / "m.jsonl"
+    logger = MetricsLogger(str(path))
+    enc = Encoder(CodecConfig.production(intra_qstep=16), metrics=logger,
+                  profile=True)
+    enc.encode_frames(frames)
+    logger.close()
+    recs = [json.loads(line) for line in open(path)]
+    stage = [r for r in recs if r["event"] == "stage_timings"]
+    assert len(stage) == 1
+    assert "encode_gop_batch" in stage[0]
+    assert "intra_i_encode" in stage[0]
+    assert stage[0]["encode_gop_batch"] > 0
+    # the timer itself accumulated matching call counts
+    assert enc.stage_timer.summary()["encode_gop_batch"]["calls"] >= 1

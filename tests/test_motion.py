@@ -61,6 +61,26 @@ def test_motion_search_on_real_frames():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("bs", [4, 16])
+def test_motion_search_block_size_sweep(rng, bs):
+    """The reference's block-size sweep (Videos/MotionPrediction(NoRes)/
+    output-traffic(4x4|8x8|16x16).mp4, Prototypes/match-block.py:40-43):
+    bs != 8 with the reference's derived window (reach = 2*bs,
+    motion.py:18) and step (round(bs/3), motion.py:132)."""
+    reach, step = 2 * bs, max(1, round(bs / 3))
+    cur, ref = _random_pair(rng, 4 * bs + bs, 6 * bs)
+    want = oracle_motion_search(cur, ref, bs=bs, reach=reach, step=step)
+    got = np.asarray(motion.motion_search(_pl(cur), _pl(ref), bs=bs,
+                                          reach=reach, step=step))
+    np.testing.assert_array_equal(got, want)
+    # compensation at the swept block size
+    from oracles import oracle_motion_compensate
+    want_c = oracle_motion_compensate(want, ref, bs)
+    got_c = np.moveaxis(np.asarray(motion.motion_compensate(
+        jnp.asarray(want), _pl(ref), bs)), 0, -1).astype(np.uint8)
+    np.testing.assert_array_equal(got_c, want_c)
+
+
 def test_motion_compensate_vs_oracle(rng):
     cur, ref = _random_pair(rng, 48, 64)
     mv = oracle_motion_search(cur, ref)

@@ -40,6 +40,13 @@ def _add_codec_args(p: argparse.ArgumentParser):
                         "path)")
     p.add_argument("--gop-batch", type=int, default=8)
     p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--profile", action="store_true",
+                   help="per-stage wall-clock timing (blocks on device "
+                        "results at stage exits; prints a summary and, with "
+                        "--metrics, logs a stage_timings record)")
+    p.add_argument("--trace-dir", default=None,
+                   help="capture a TensorBoard-viewable device trace of the "
+                        "encode into this directory (jax.profiler)")
 
 
 def _cfg(args):
@@ -133,17 +140,38 @@ def _encode_distributed(args, cfg):
         print(f"[proc 0/{n}] wrote {written} ({n_gops} GOPs, {n} procs)")
 
 
+def _maybe_trace(trace_dir):
+    """Device trace scope (utils/profiling.py) or a no-op."""
+    import contextlib
+    if not trace_dir:
+        return contextlib.nullcontext()
+    from vcs_h264_tpu.utils.profiling import device_trace
+    print(f"capturing device trace -> {trace_dir}")
+    return device_trace(trace_dir)
+
+
+def _print_stage_summary(enc):
+    if enc.stage_timer is None or not enc.stage_timer.totals:
+        return
+    print("stage timings (wall-clock, device-synced at stage exits):")
+    for name, s in enc.stage_timer.summary().items():
+        print(f"  {name:24s} {s['mean_ms']:9.2f} ms/call "
+              f"x{s['calls']} = {s['total_s']:.3f} s")
+
+
 def cmd_encode(args):
     from vcs_h264_tpu.models import Encoder
     cfg = _cfg(args)
     if args.procs > 1:
         _encode_distributed(args, cfg)
         return
-    enc = Encoder(cfg, gop_batch=args.gop_batch)
+    enc = Encoder(cfg, gop_batch=args.gop_batch, profile=args.profile)
     t0 = time.perf_counter()
-    video = enc.encode_video(args.input, max_frames=args.max_frames,
-                             checkpoint_dir=args.checkpoint_dir)
+    with _maybe_trace(args.trace_dir):
+        video = enc.encode_video(args.input, max_frames=args.max_frames,
+                                 checkpoint_dir=args.checkpoint_dir)
     dt = time.perf_counter() - t0
+    _print_stage_summary(enc)
     written = _save_stream(video, args.output)
     import os
     size = os.path.getsize(written)
@@ -172,13 +200,15 @@ def cmd_roundtrip(args):
     reader = VideoReader(args.input, block_multiple=mult,
                          max_frames=args.max_frames)
     frames = reader.read_all()
-    enc = Encoder(cfg, gop_batch=args.gop_batch)
-    t0 = time.perf_counter()
-    video = enc.encode_frames(frames, fps=reader.fps)
-    recon = Decoder(gop_batch=args.gop_batch).decode(video)
-    dt = time.perf_counter() - t0
-
     logger = MetricsLogger(args.metrics) if args.metrics else None
+    enc = Encoder(cfg, gop_batch=args.gop_batch, profile=args.profile,
+                  metrics=logger)
+    t0 = time.perf_counter()
+    with _maybe_trace(args.trace_dir):
+        video = enc.encode_frames(frames, fps=reader.fps)
+        recon = Decoder(gop_batch=args.gop_batch).decode(video)
+    dt = time.perf_counter() - t0
+    _print_stage_summary(enc)
     psnrs = []
     for i, (f, r) in enumerate(zip(frames, recon)):
         p = psnr(f, r)

@@ -71,6 +71,19 @@ class CodecConfig:
     def __post_init__(self):
         if self.block_size < 2:
             raise ValueError(f"block_size must be >= 2, got {self.block_size}")
+        if self.with_dct and self.block_size != 8:
+            # The JPEG quantization tables are 8x8 only (ops/quant.py
+            # QY_BASE/QC_BASE = DCTcompressor.py:11-27); the reference's own
+            # block-size sweep (Videos/MotionPrediction(NoRes)/
+            # output-traffic(4x4|8x8|16x16).mp4, Prototypes/match-block.py:
+            # 40-43) was motion-only. Reject loudly instead of shape-crashing
+            # inside quant_tables.
+            raise ValueError(
+                f"with_dct requires block_size=8 (8x8 JPEG quantization "
+                f"tables), got {self.block_size}. Use with_dct=False for "
+                f"the block-size sweep; the reference's sweep used "
+                f"search_reach=2*block_size and search_step=round("
+                f"block_size/3) (motion.py:18,132).")
         if not self.gop_pattern or self.gop_pattern[0] != "I":
             raise ValueError("gop_pattern must start with 'I'")
         if any(t not in ("I", "P", "B") for t in self.gop_pattern):

@@ -27,6 +27,7 @@ from vcs_h264_tpu.config import CodecConfig
 from vcs_h264_tpu.models.gop import EncodedGOP, EncodedVideo
 from vcs_h264_tpu.models import pipeline
 from vcs_h264_tpu.io.video import group_into_gops
+from vcs_h264_tpu.utils.profiling import StageTimer, trace_annotation
 
 
 def _cfg_fingerprint(cfg: CodecConfig) -> str:
@@ -147,10 +148,20 @@ def _load_gop_npz(path: str, fingerprint: str = "") -> Optional[EncodedGOP]:
 
 class Encoder:
     def __init__(self, cfg: CodecConfig = CodecConfig(),
-                 gop_batch: int = 8, metrics=None):
+                 gop_batch: int = 8, metrics=None, profile: bool = False):
         self.cfg = cfg
         self.gop_batch = gop_batch
         self.metrics = metrics          # utils.metrics.MetricsLogger or None
+        # Opt-in per-stage wall-clock timing (utils/profiling.py). Blocking:
+        # each stage waits on its device results, which defeats the async
+        # dispatch overlap of encode_stream — keep off for throughput runs.
+        self.stage_timer = StageTimer() if profile else None
+
+    def _stage(self, name: str):
+        """Profiler-annotated (and, with profile=True, timed) stage scope."""
+        if self.stage_timer is not None:
+            return self.stage_timer.stage(name)
+        return trace_annotation(name)
 
     def encode_frames(self, frames: List[np.ndarray], fps: float = 25.0,
                       checkpoint_dir: Optional[str] = None,
@@ -197,11 +208,8 @@ class Encoder:
                                      ckpt_path, fingerprint)
             video = EncodedVideo(config=cfg, height=h, width=w, fps=fps,
                                  num_frames=len(frames), gops=encoded)
-            if self.metrics:
-                dt = time.perf_counter() - t_start
-                self.metrics.log("encode_summary", frames=len(frames),
-                                 seconds=dt, fps=len(frames) / dt,
-                                 gops=len(encoded))
+            self._log_summary(len(frames), len(encoded),
+                              time.perf_counter() - t_start)
             return video
 
         def lossy_i(i_b):
@@ -230,8 +238,14 @@ class Encoder:
                 .transpose(0, 1, 4, 2, 3))
             payload = None
             if cfg.intra_qstep:
-                payload, i_b = lossy_i(i_b)
-            out = enc_batch(i_b, p_b)
+                with self._stage("intra_i_encode") as box:
+                    payload, i_b = lossy_i(i_b)
+                    if box is not None:
+                        box["result"] = payload
+            with self._stage("encode_gop_batch") as box:
+                out = enc_batch(i_b, p_b)
+                if box is not None:
+                    box["result"] = out
             for bi, idx in enumerate(idxs):
                 gop = jax.tree.map(lambda x, _bi=bi: x[_bi], out)
                 if payload is not None:
@@ -239,8 +253,9 @@ class Encoder:
                 encoded[idx] = gop
                 self._log_gop(idx, gop)
                 if checkpoint_dir:
-                    _save_gop_npz(ckpt_path(idx), gop, cfg.with_dct,
-                                  fingerprint)
+                    with self._stage("checkpoint_write"):
+                        _save_gop_npz(ckpt_path(idx), gop, cfg.with_dct,
+                                      fingerprint)
 
         enc_one = pipeline.jit_encode_gop(cfg)
         for idx in tail:
@@ -267,12 +282,21 @@ class Encoder:
 
         video = EncodedVideo(config=cfg, height=h, width=w, fps=fps,
                              num_frames=len(frames), gops=encoded)
-        if self.metrics:
-            dt = time.perf_counter() - t_start
-            self.metrics.log("encode_summary", frames=len(frames),
-                             seconds=dt, fps=len(frames) / dt,
-                             gops=len(encoded))
+        self._log_summary(len(frames), len(encoded),
+                          time.perf_counter() - t_start)
         return video
+
+    def _log_summary(self, n_frames: int, n_gops: int, dt: float) -> None:
+        """Emit the encode summary — and, when profiling, per-stage wall
+        clock — into the JSONL metrics stream."""
+        if not self.metrics:
+            return
+        self.metrics.log("encode_summary", frames=n_frames, seconds=dt,
+                         fps=n_frames / dt, gops=n_gops)
+        if self.stage_timer is not None and self.stage_timer.totals:
+            self.metrics.log("stage_timings", **{
+                k: round(v["mean_ms"], 3)
+                for k, v in self.stage_timer.summary().items()})
 
     def _encode_pending_420(self, grouped, full, tail, encoded,
                             ckpt_path, fingerprint) -> None:
@@ -295,7 +319,10 @@ class Encoder:
                               .transpose(0, 3, 1, 2))
             p_b = jnp.asarray(np.stack([grouped[i][1] for i in idxs])
                               .transpose(0, 1, 4, 2, 3))
-            out = enc_batch(i_b, p_b)
+            with self._stage("encode_gop_batch_420") as box:
+                out = enc_batch(i_b, p_b)
+                if box is not None:
+                    box["result"] = out
             for bi, idx in enumerate(idxs):
                 finish(idx, jax.tree.map(lambda x, _bi=bi: x[_bi], out))
 

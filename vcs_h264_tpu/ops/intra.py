@@ -37,8 +37,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-_SHIFT_SENTINEL = None
-
 
 def _avail_masks(nbh: int, nbw: int):
     bi = jnp.arange(nbh)[:, None]
