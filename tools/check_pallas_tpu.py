@@ -41,6 +41,42 @@ def main():
         print(f"ok {b}x{f} {h}x{w}")
     print("pallas kernels (search + compensate) bit-exact on TPU")
 
+    # fused inter kernels (ops/inter_pallas.py): on the MXU the kron-matmul
+    # DCT accumulates nonzero terms in the same sequential K-order as the
+    # blockwise einsum, so equality is exact on hardware (the CPU interpret
+    # test tolerates the SIMD tree-order ulp; tests/test_inter_pallas.py)
+    from vcs_h264_tpu.config import CodecConfig
+    from vcs_h264_tpu.models import pipeline
+    from vcs_h264_tpu.ops import inter_pallas as IP
+    cfg = CodecConfig.production()
+    for (b, f, h, w) in [(2, 3, 360, 640)]:
+        bs, reach = cfg.block_size, cfg.search_reach
+        nbh, nbw = h // bs, w // bs
+        refs = jnp.asarray(rng.integers(0, 256, (b, 3, h, w)), jnp.int32)
+        curs = jnp.asarray(rng.integers(0, 256, (b, f, 3, h, w)), jnp.int32)
+        mv = rng.integers(-reach, reach + 1, (b, f, nbh, nbw, 2))
+        ci = np.arange(nbh)[:, None] * bs
+        cj = np.arange(nbw)[None, :] * bs
+        mv[..., 1] = np.clip(mv[..., 1], -ci, h - bs - ci)
+        mv[..., 0] = np.clip(mv[..., 0], -cj, w - bs - cj)
+        mv = jnp.asarray(mv, jnp.int32)
+        recon = M.motion_compensate_gops(mv, refs, bs=bs, reach=reach,
+                                         backend="xla")
+        want_co = pipeline.dct_compress_residual_signed(curs - recon, cfg)
+        got_co = IP.encode_p_coeffs_fused(mv, refs, curs, bs, reach,
+                                          cfg.quality_factor)
+        assert np.array_equal(np.asarray(got_co), np.asarray(want_co)), \
+            f"fused encode mismatch {b}x{f}x{h}x{w}"
+        want_dec = jnp.clip(
+            recon + pipeline.dct_decompress_residual_signed(want_co, cfg),
+            0, 255)
+        got_dec = IP.decode_p_frames_fused(mv, refs, want_co, bs, reach,
+                                           cfg.quality_factor)
+        assert np.array_equal(np.asarray(got_dec), np.asarray(want_dec)), \
+            f"fused decode mismatch {b}x{f}x{h}x{w}"
+        print(f"ok fused inter {b}x{f} {h}x{w}")
+    print("fused inter kernels (enc + dec) bit-exact on TPU")
+
     # wavefront intra kernels (MXU formulation, ops/intra_pallas.py)
     from vcs_h264_tpu.ops import intra as I
     for (n, h, w) in [(3, 64, 96), (6, 360, 640)]:

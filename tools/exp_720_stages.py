@@ -98,6 +98,38 @@ def main():
 
     timed("search", fused(search_only), i_b, p_b)
 
+    # fused inter kernels (ops/inter_pallas.py) vs the XLA composition
+    mv0 = jax.block_until_ready(motion.motion_search_gops(
+        p_b, i_b, bs=cfg.block_size, reach=cfg.search_reach,
+        step=cfg.search_step, static_threshold=cfg.static_threshold))
+    from vcs_h264_tpu.ops import inter_pallas as IP
+
+    def fused_enc(it, m, i_f, p_f):
+        return jnp.sum(IP.encode_p_coeffs_fused(
+            m, i_f, jnp.roll(p_f, it & 7, axis=-1), cfg.block_size,
+            cfg.search_reach, cfg.quality_factor).astype(jnp.int32))
+
+    timed("fused_enc", fused(fused_enc), mv0, i_b, p_b)
+
+    co0 = jax.block_until_ready(IP.encode_p_coeffs_fused(
+        mv0, i_b, p_b, cfg.block_size, cfg.search_reach,
+        cfg.quality_factor))
+
+    def fused_dec(it, m, i_f, co):
+        return jnp.sum(IP.decode_p_frames_fused(
+            m, i_f, jnp.roll(co, it & 7, axis=-1), cfg.block_size,
+            cfg.search_reach, cfg.quality_factor))
+
+    timed("fused_dec", fused(fused_dec), mv0, i_b, co0)
+
+    def xla_enc(it, m, i_f, p_f):
+        recon = motion.motion_compensate_gops(
+            m, i_f, bs=cfg.block_size, reach=cfg.search_reach)
+        return jnp.sum(pipeline.dct_compress_residual_signed(
+            jnp.roll(p_f, it & 7, axis=-1) - recon, cfg).astype(jnp.int32))
+
+    timed("xla_enc(comp+dctq)", fused(xla_enc), mv0, i_b, p_b)
+
 
 if __name__ == "__main__":
     main()
