@@ -1,0 +1,115 @@
+"""Fused inter kernels (ops/inter_pallas.py) vs the XLA production
+composition (interpret mode on CPU; hardware via tools/check_pallas_tpu.py).
+
+The fused path must be bitwise the models/pipeline.py composition:
+compensate -> signed residual -> RCT -> DCT -> round(/Q) -> int16, and the
+inverse. The kron-matmul DCT contracts over zero-padded blocks, which is
+FP-exact, so equality is asserted exactly, not approximately.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jax.experimental import pallas as pl
+
+from vcs_h264_tpu.config import CodecConfig
+from vcs_h264_tpu.models import pipeline
+from vcs_h264_tpu.ops import motion as M
+
+
+@pytest.fixture
+def interpret_pallas(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    import vcs_h264_tpu.ops.inter_pallas as IP
+    monkeypatch.setattr(IP.pl, "pallas_call", patched)
+    return IP
+
+
+def _mk(rng, g, f, h, w, reach):
+    bs = 8
+    nbh, nbw = h // bs, w // bs
+    refs = jnp.asarray(rng.integers(0, 256, (g, 3, h, w)), jnp.int32)
+    curs = jnp.asarray(rng.integers(0, 256, (g, f, 3, h, w)), jnp.int32)
+    mv = rng.integers(-reach, reach + 1, (g, f, nbh, nbw, 2))
+    ci = np.arange(nbh)[:, None] * bs
+    cj = np.arange(nbw)[None, :] * bs
+    mv[..., 1] = np.clip(mv[..., 1], -ci, h - bs - ci)
+    mv[..., 0] = np.clip(mv[..., 0], -cj, w - bs - cj)
+    return jnp.asarray(mv, jnp.int32), refs, curs
+
+
+def _xla_encode(mv, refs, curs, cfg):
+    recon = M.motion_compensate_gops(mv, refs, bs=cfg.block_size,
+                                     reach=cfg.search_reach, backend="xla")
+    return pipeline.dct_compress_residual_signed(curs - recon, cfg)
+
+
+def _xla_decode(mv, refs, coeffs, cfg):
+    recon = M.motion_compensate_gops(mv, refs, bs=cfg.block_size,
+                                     reach=cfg.search_reach, backend="xla")
+    return jnp.clip(
+        recon + pipeline.dct_decompress_residual_signed(coeffs, cfg), 0, 255)
+
+
+@pytest.mark.parametrize("h,w,qf", [(64, 128, 50.0), (48, 64, 90.0)])
+def test_fused_encode_matches_xla(rng, interpret_pallas, h, w, qf):
+    IP = interpret_pallas
+    cfg = CodecConfig.production(quality_factor=qf)
+    mv, refs, curs = _mk(rng, 2, 3, h, w, cfg.search_reach)
+    got = np.asarray(IP.encode_p_coeffs_fused(
+        mv, refs, curs, cfg.block_size, cfg.search_reach, qf))
+    want = np.asarray(_xla_encode(mv, refs, curs, cfg))
+    assert got.dtype == want.dtype == np.int16
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("h,w,qf", [(64, 128, 50.0)])
+def test_fused_decode_matches_xla(rng, interpret_pallas, h, w, qf):
+    """Near-exact on CPU: the decode-side inverse RCT rounds IDCT outputs,
+    and XLA-CPU's SIMD dot accumulates the kron contraction's nonzero terms
+    in a tree order (one per SIMD accumulator) while the blockwise dot sums
+    them sequentially — a last-ulp difference that flips round() at exact
+    .5 ties on ~1e-5 of pixels. On the MXU both contractions accumulate
+    sequentially along K, so hardware equality is exact and asserted by
+    tools/check_pallas_tpu.py."""
+    IP = interpret_pallas
+    cfg = CodecConfig.production(quality_factor=qf)
+    mv, refs, curs = _mk(rng, 2, 3, h, w, cfg.search_reach)
+    coeffs = _xla_encode(mv, refs, curs, cfg)
+    got = np.asarray(IP.decode_p_frames_fused(
+        mv, refs, coeffs, cfg.block_size, cfg.search_reach, qf))
+    want = np.asarray(_xla_decode(mv, refs, coeffs, cfg))
+    diff = np.abs(got.astype(np.int64) - want.astype(np.int64))
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 1e-4
+
+
+def test_fused_roundtrip_on_real_motion(rng, interpret_pallas):
+    """Search output -> fused encode -> fused decode reconstructs close to
+    the input (sanity: quantization-only loss at QF 50)."""
+    IP = interpret_pallas
+    cfg = CodecConfig.production()
+    h, w = 64, 64
+    # smooth content shifted by a displacement the reference's step-3
+    # candidate grid can represent exactly (-16 + 3k: dy=-4, dx=5), so
+    # interior residuals are pure quantization noise
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = ((np.sin(yy / 9.0) + np.cos(xx / 7.0)) * 60 + 128).astype(np.uint8)
+    ref_hwc = np.stack([base, base // 2 + 64, 255 - base], axis=-1)
+    cur_hwc = np.roll(ref_hwc, (4, -5), axis=(0, 1))
+    refs = jnp.asarray(np.moveaxis(ref_hwc, -1, 0), jnp.int32)[None]
+    curs = jnp.asarray(np.moveaxis(cur_hwc, -1, 0), jnp.int32)[None, None]
+    mv = M.motion_search_gops(curs, refs, backend="xla")
+    coeffs = IP.encode_p_coeffs_fused(mv, refs, curs, 8, 16, 50.0)
+    dec = np.asarray(IP.decode_p_frames_fused(mv, refs, coeffs, 8, 16, 50.0))
+    err = np.abs(dec[0, 0].astype(np.int64)
+                 - np.asarray(curs[0, 0]).astype(np.int64))
+    # rounded QF-50 quantization: reconstruction within a tight error band
+    assert np.mean(err) < 3.0 and np.percentile(err, 99) <= 25

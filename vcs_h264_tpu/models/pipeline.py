@@ -180,6 +180,30 @@ def _encode_residual(cur: jnp.ndarray, recon: jnp.ndarray, cfg: CodecConfig):
     return resid
 
 
+def _use_fused_inter(cfg: CodecConfig, n_p: int) -> bool:
+    """The fused P-frame Pallas path (ops/inter_pallas.py): compensation +
+    signed residual + RCT + DCT + quant in one kernel, bitwise-equal to the
+    XLA composition below. TPU-only (CPU runs the XLA path); production
+    full-res mode only (the wrap-semantics reference path and 4:2:0 have
+    their own compositions)."""
+    from vcs_h264_tpu.ops.motion import use_pallas_default
+    return (n_p > 0 and cfg.with_residual and cfg.with_dct
+            and cfg.quant_mode == "rounded" and not cfg.chroma_420
+            and cfg.block_size == 8 and use_pallas_default())
+
+
+def _fused_encode(mv, refs, curs, cfg: CodecConfig):
+    from vcs_h264_tpu.ops.inter_pallas import encode_p_coeffs_fused
+    return encode_p_coeffs_fused(mv, refs, curs, cfg.block_size,
+                                 cfg.search_reach, cfg.quality_factor)
+
+
+def _fused_decode(mv, refs, coeffs, cfg: CodecConfig):
+    from vcs_h264_tpu.ops.inter_pallas import decode_p_frames_fused
+    return decode_p_frames_fused(mv, refs, coeffs, cfg.block_size,
+                                 cfg.search_reach, cfg.quality_factor)
+
+
 def _search_gop(p_frames, i_frame, cfg: CodecConfig):
     return motion.motion_search_batch(
         p_frames, i_frame, bs=cfg.block_size, reach=cfg.search_reach,
@@ -293,13 +317,19 @@ def encode_gop_batch(i_frames, p_frames, cfg: CodecConfig) -> EncodedGOP:
     if not cfg.with_residual and not use_b:
         return EncodedGOP(i_frame=i_frames, mv=mv, residuals=None)
 
-    recon = _compensate_gops(mv, i_frames, cfg)         # [B, NP, C, H, W]
-    resid = _encode_residual(p_f, recon, cfg)
-    if not use_b:
-        return EncodedGOP(i_frame=i_frames, mv=mv, residuals=resid)
-    # closed loop: B frames reference the *decoded* anchors, so encoder
-    # and decoder predictions agree even under lossy quantization
-    dec_p = _apply_residual(recon, resid, cfg)
+    if _use_fused_inter(cfg, p_f.shape[1]):
+        resid = _fused_encode(mv, i_frames, p_f, cfg)
+        if not use_b:
+            return EncodedGOP(i_frame=i_frames, mv=mv, residuals=resid)
+        # closed loop: B frames reference the *decoded* anchors, so encoder
+        # and decoder predictions agree even under lossy quantization
+        dec_p = _fused_decode(mv, i_frames, resid, cfg)
+    else:
+        recon = _compensate_gops(mv, i_frames, cfg)     # [B, NP, C, H, W]
+        resid = _encode_residual(p_f, recon, cfg)
+        if not use_b:
+            return EncodedGOP(i_frame=i_frames, mv=mv, residuals=resid)
+        dec_p = _apply_residual(recon, resid, cfg)
 
     b_f = p_frames[:, np.array(b_sel)]                  # [B, NB, C, H, W]
     anchors = jnp.concatenate([i_frames[:, None], dec_p], axis=1)
@@ -330,8 +360,12 @@ def decode_gop_batch(gop: EncodedGOP, cfg: CodecConfig) -> jnp.ndarray:
     Fully batched (compensation runs the Pallas kernel once over all GOPs,
     never under vmap)."""
     i_frames = gop.i_frame.astype(jnp.int32)            # [B, C, H, W]
-    recon = _compensate_gops(gop.mv, i_frames, cfg)
-    out_p = _apply_residual(recon, gop.residuals, cfg)
+    if (gop.residuals is not None
+            and _use_fused_inter(cfg, gop.mv.shape[1])):
+        out_p = _fused_decode(gop.mv, i_frames, gop.residuals, cfg)
+    else:
+        recon = _compensate_gops(gop.mv, i_frames, cfg)
+        out_p = _apply_residual(recon, gop.residuals, cfg)
     anchors = jnp.concatenate([i_frames[:, None], out_p], axis=1)
     if gop.b_mv is None:
         return anchors

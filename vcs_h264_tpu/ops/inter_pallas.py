@@ -1,0 +1,278 @@
+"""Fused P-frame inter kernels: compensation + residual + color transform +
+DCT + quantization in ONE Pallas program per (gop, block row).
+
+The XLA production path (models/pipeline.py) round-trips every intermediate
+through HBM: recon int32 [G,F,C,H,W] (Pallas compensate), resid int32, the
+signed-RCT YCrCb planes f32, the block relayout, the coefficient planes f32
+-> int16 — ~5.4 GB across stages at 720p/32f vs a ~6.6 ms HBM bound
+(BASELINE.md roofline: the stage ran at ~25% of bound, VERDICT r3 Weak #4).
+These kernels keep the whole P-frame path in VMEM:
+
+  encode: ref strip (int8, recentered) --one-hot MXU mix--> recon
+          - cur (int8) -> signed residual -> RCT (exact f32 elementwise)
+          -> blockwise DCT as TWO kron matmuls on the [C*bs, W] strip
+          (kron(I_C, D) on rows, kron(I_{W/bs}, D^T) on columns: the zero
+          blocks contribute exact FP zeros, so the result is bitwise the
+          XLA einsum's) -> /Q -> round -> int16 coefficients out.
+  decode: coefficients * Q -> inverse kron matmuls -> inverse RCT -> round
+          -> + recon -> clip -> int32 frames out.
+
+Only uint8 curs (as recentered int8), int16 coefficients and the final
+frames cross HBM. Semantics preserved bit-for-bit vs models/pipeline.py's
+dct_compress_residual_signed / dct_decompress_residual_signed composition
+(reference lineage: DCTcompressor.py:49-93 residual color roundtrip,
+rounded-quant dct.py:179 semantics, decoder.py:52-60 add-back):
+tests/test_inter_pallas.py (interpret mode) and tools/check_pallas_tpu.py
+(hardware).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vcs_h264_tpu.ops.dct import dct_matrix_np
+from vcs_h264_tpu.ops.quant import quant_tables_np
+
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+
+# Signed-residual RCT constants (pipeline.py _RCT; cv2's YCrCb scale factors)
+_KR, _KG, _KB = 0.299, 0.587, 0.114
+_SCR, _SCB = 0.713, 0.564
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.lru_cache(maxsize=None)
+def _kron_np(bs: int, n: int, transpose: bool) -> np.ndarray:
+    """kron(I_n, D or D^T) as float32 (exact layout of the XLA blockwise
+    einsum: zero blocks are exact FP zeros)."""
+    d = dct_matrix_np(bs).astype(np.float32)
+    return np.kron(np.eye(n, dtype=np.float32), d.T if transpose else d)
+
+
+@functools.lru_cache(maxsize=None)
+def _q_strip_np(qf: float, c: int, bs: int, w: int) -> np.ndarray:
+    """[C*bs, W] quantization divisor strip: q[ci, i, j % bs] tiled along
+    the lane axis (Y table for channel 0, C table elsewhere — the fused path
+    codes YCrCb order like quant_tables)."""
+    qy, qc = quant_tables_np(qf)
+    tabs = [qy] + [qc] * (c - 1)
+    strip = np.concatenate([np.tile(t, (1, w // bs)) for t in tabs], axis=0)
+    return strip.astype(np.float32)
+
+
+def _recon_strip(oct_refs, dipix, djpix, dmat_ref, fi, *, k_oct, c, bs,
+                 reach, pad, w):
+    """Recentered reconstruction strip [C, bs, W] f32 for frame fi from the
+    octet refs (int8) + per-pixel displacements (the branchless one-hot MXU
+    mix + row select of motion_pallas._comp_kernel). dmat_ref [Wpp, W] i32
+    holds s - x, so the per-frame one-hot needs ONE compare instead of two
+    iotas + a full-panel add."""
+    strip = jnp.concatenate(
+        [r[0, 0].reshape(c, bs, r.shape[-1]) for r in oct_refs], axis=1)
+    rows = k_oct * bs
+    wpp = strip.shape[-1]
+    sb = strip.astype(jnp.bfloat16).reshape(c * rows, wpp)
+    dj = djpix[0, 0, fi]                                       # [W]
+    m = (dmat_ref[...] == dj[None, :] + pad).astype(jnp.bfloat16)
+    t = lax.dot_general(sb, m, dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)    # [C*rows, W]
+    t = t.reshape(c, rows, w)
+    di = dipix[0, 0, fi][None, None, :]                        # [1, 1, W]
+    acc = jnp.zeros((c, bs, w), jnp.float32)
+    for d in range(-reach, reach + 1):
+        seg = lax.slice(t, (0, pad + d, 0), (c, pad + d + bs, w))
+        acc = jnp.where(di == d, seg, acc)
+    return acc
+
+
+def _dct_q(strip, kl_ref, kr_ref, q_ref):
+    """[C*bs, W] f32 -> quantized int16 coefficients (bitwise the XLA
+    dct2_blocks + round(d/q) composition; Precision.HIGHEST f32)."""
+    d1 = lax.dot_general(kl_ref[...], strip,
+                         dimension_numbers=(((1,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32,
+                         precision=lax.Precision.HIGHEST)
+    d2 = lax.dot_general(d1, kr_ref[...],
+                         dimension_numbers=(((1,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32,
+                         precision=lax.Precision.HIGHEST)
+    return jnp.round(d2 / q_ref[...]).astype(jnp.int16)
+
+
+def _idct(coef_f32, kl_ref, kr_ref, q_ref):
+    """Dequantize + inverse blockwise DCT on a [C*bs, W] f32 strip."""
+    d = coef_f32 * q_ref[...]
+    u1 = lax.dot_general(kl_ref[...], d,
+                         dimension_numbers=(((1,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32,
+                         precision=lax.Precision.HIGHEST)
+    return lax.dot_general(u1, kr_ref[...],
+                           dimension_numbers=(((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32,
+                           precision=lax.Precision.HIGHEST)
+
+
+def _enc_kernel(dipix_ref, djpix_ref, dmat_ref, *refs, k_oct, bs, reach,
+                pad, w, c, f):
+    """out[g, fi, :, bi] = round(DCT(RCT(cur - recon)) / Q) as int16."""
+    oct_refs = refs[:k_oct]
+    cur_ref, kl_ref, kr_ref, q_ref, out_ref = refs[k_oct:k_oct + 5]
+    for fi in range(f):
+        recon = _recon_strip(oct_refs, dipix_ref, djpix_ref, dmat_ref, fi,
+                             k_oct=k_oct, c=c, bs=bs, reach=reach, pad=pad,
+                             w=w)
+        cur = cur_ref[0, fi, :, 0].astype(jnp.float32)   # [C, bs, W] (-128)
+        resid = cur - recon          # (cur-128) - (recon-128) = cur - recon
+        b, g2, r = resid[0], resid[1], resid[2]
+        y = _KR * r + _KG * g2 + _KB * b
+        cr = (r - y) * _SCR
+        cb = (b - y) * _SCB
+        ycc = jnp.stack([y, cr, cb]).reshape(c * bs, w)
+        out_ref[0, fi, :, 0] = _dct_q(ycc, kl_ref, kr_ref, q_ref).reshape(
+            c, bs, w)
+
+
+def _dec_kernel(dipix_ref, djpix_ref, dmat_ref, *refs, k_oct, bs, reach,
+                pad, w, c, f):
+    """out[g, fi, :, bi] = clip(recon + round(RCT^-1(IDCT(coef * Q))))."""
+    oct_refs = refs[:k_oct]
+    coef_ref, kl_ref, kr_ref, q_ref, out_ref = refs[k_oct:k_oct + 5]
+    for fi in range(f):
+        recon = _recon_strip(oct_refs, dipix_ref, djpix_ref, dmat_ref, fi,
+                             k_oct=k_oct, c=c, bs=bs, reach=reach, pad=pad,
+                             w=w) + 128.0
+        coef = coef_ref[0, fi, :, 0].astype(jnp.float32).reshape(c * bs, w)
+        ycc = _idct(coef, kl_ref, kr_ref, q_ref).reshape(c, bs, w)
+        y, cr, cb = ycc[0], ycc[1], ycc[2]
+        r = y + cr / _SCR
+        b = y + cb / _SCB
+        g2 = (y - _KR * r - _KB * b) / _KG
+        resid = jnp.round(jnp.stack([b, g2, r]))
+        out_ref[0, fi, :, 0] = jnp.clip(recon + resid, 0, 255).astype(
+            jnp.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _dmat_np(wpp: int, w: int) -> np.ndarray:
+    """[Wpp, W] i32 difference matrix s - x (one-hot compare operand)."""
+    return (np.arange(wpp)[:, None] - np.arange(w)[None, :]).astype(np.int32)
+
+
+def _prep(mv, refs, bs, reach):
+    """Shared operand prep: displacement pixel maps + int8 octet-grouped
+    padded reference (recentered by -128)."""
+    g, f, nbh, nbw = mv.shape[:4]
+    c, h, w = refs.shape[1:]
+    pad_top = _round_up(reach, bs)
+    k_oct = -(-(pad_top + reach + bs) // bs)
+    pad_bot = k_oct * bs - bs - pad_top
+    wpp = _round_up(w + 2 * pad_top, 128)
+    refp = jnp.pad((refs - 128).astype(jnp.int8),
+                   ((0, 0), (0, 0), (pad_top, pad_bot),
+                    (pad_top, wpp - w - pad_top)),
+                   constant_values=np.int8(-128))
+    n_oct = refp.shape[2] // bs
+    # octet-grouped int8 layout [G, n_oct, C*bs, Wpp]: trailing block dims
+    # equal the array's (the int8 (32, 128) tile constraint is waived then)
+    refp = refp.reshape(g, c, n_oct, bs, wpp).transpose(
+        0, 2, 1, 3, 4).reshape(g, n_oct, c * bs, wpp)
+
+    dipix = jnp.repeat(mv[..., 1], bs, axis=-1).astype(jnp.int32)
+    djpix = jnp.repeat(mv[..., 0], bs, axis=-1).astype(jnp.int32)
+    dipix = dipix.transpose(0, 2, 1, 3)                        # [G,nbh,F,W]
+    djpix = djpix.transpose(0, 2, 1, 3)
+    return dipix, djpix, refp, k_oct, pad_top, wpp
+
+
+def _specs(f, c, bs, w, wpp, k_oct):
+    pix_spec = pl.BlockSpec((1, 1, f, w), lambda gi, bi: (gi, bi, 0, 0),
+                            memory_space=pltpu.VMEM)
+    oct_specs = [
+        pl.BlockSpec((1, 1, c * bs, wpp),
+                     functools.partial(lambda gi, bi, q: (gi, bi + q, 0, 0),
+                                       q=q),
+                     memory_space=pltpu.VMEM)
+        for q in range(k_oct)]
+    plane_spec = pl.BlockSpec((1, f, c, 1, bs, w),
+                              lambda gi, bi: (gi, 0, 0, bi, 0, 0),
+                              memory_space=pltpu.VMEM)
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda gi, bi: (0,) * len(shape), memory_space=pltpu.VMEM)
+    return pix_spec, oct_specs, plane_spec, const_spec
+
+
+def encode_p_coeffs_fused(mv: jnp.ndarray, refs: jnp.ndarray,
+                          curs: jnp.ndarray, bs: int, reach: int,
+                          qf: float) -> jnp.ndarray:
+    """mv [G, F, nbh, nbw, 2]; refs [G, C, H, W] int; curs [G, F, C, H, W]
+    uint8-valued int -> quantized residual coefficients int16
+    [G, F, C, H, W] (== pipeline.dct_compress_residual_signed(curs - recon)
+    bitwise)."""
+    g, f, nbh, nbw = mv.shape[:4]
+    c, h, w = refs.shape[1:]
+    dipix, djpix, refp, k_oct, pad_top, wpp = _prep(mv, refs, bs, reach)
+    curs8 = (curs - 128).astype(jnp.int8).reshape(g, f, c, nbh, bs, w)
+    kl = jnp.asarray(_kron_np(bs, c, False))                 # [C*bs, C*bs]
+    kr = jnp.asarray(_kron_np(bs, w // bs, True))            # [W, W]
+    q = jnp.asarray(_q_strip_np(qf, c, bs, w))               # [C*bs, W]
+
+    pix_spec, oct_specs, plane_spec, const_spec = _specs(
+        f, c, bs, w, wpp, k_oct)
+    kernel = functools.partial(_enc_kernel, k_oct=k_oct, bs=bs, reach=reach,
+                               pad=pad_top, w=w, c=c, f=f)
+    dmat = jnp.asarray(_dmat_np(wpp, w))
+    out = pl.pallas_call(
+        kernel,
+        grid=(g, nbh),
+        in_specs=[pix_spec, pix_spec, const_spec((wpp, w))] + oct_specs
+        + [plane_spec, const_spec((c * bs, c * bs)), const_spec((w, w)),
+           const_spec((c * bs, w))],
+        out_specs=plane_spec,
+        out_shape=jax.ShapeDtypeStruct((g, f, c, nbh, bs, w), jnp.int16),
+        compiler_params=_COMPILER_PARAMS,
+    )(dipix, djpix, dmat, *([refp] * k_oct), curs8, kl, kr, q)
+    return out.reshape(g, f, c, h, w)
+
+
+def decode_p_frames_fused(mv: jnp.ndarray, refs: jnp.ndarray,
+                          coeffs: jnp.ndarray, bs: int, reach: int,
+                          qf: float) -> jnp.ndarray:
+    """Inverse of encode_p_coeffs_fused composed with compensation:
+    [G, F, C, H, W] int32 decoded frames (== clip(recon +
+    dct_decompress_residual_signed(coeffs)) bitwise)."""
+    g, f, nbh, nbw = mv.shape[:4]
+    c, h, w = refs.shape[1:]
+    dipix, djpix, refp, k_oct, pad_top, wpp = _prep(mv, refs, bs, reach)
+    coefs = coeffs.astype(jnp.int16).reshape(g, f, c, nbh, bs, w)
+    kl = jnp.asarray(_kron_np(bs, c, True))                  # kron(I, D^T)
+    kr = jnp.asarray(_kron_np(bs, w // bs, False))           # kron(I, D)
+    q = jnp.asarray(_q_strip_np(qf, c, bs, w))
+
+    pix_spec, oct_specs, plane_spec, const_spec = _specs(
+        f, c, bs, w, wpp, k_oct)
+    kernel = functools.partial(_dec_kernel, k_oct=k_oct, bs=bs, reach=reach,
+                               pad=pad_top, w=w, c=c, f=f)
+    dmat = jnp.asarray(_dmat_np(wpp, w))
+    out = pl.pallas_call(
+        kernel,
+        grid=(g, nbh),
+        in_specs=[pix_spec, pix_spec, const_spec((wpp, w))] + oct_specs
+        + [plane_spec, const_spec((c * bs, c * bs)), const_spec((w, w)),
+           const_spec((c * bs, w))],
+        out_specs=pl.BlockSpec((1, f, c, 1, bs, w),
+                               lambda gi, bi: (gi, 0, 0, bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, f, c, nbh, bs, w), jnp.int32),
+        compiler_params=_COMPILER_PARAMS,
+    )(dipix, djpix, dmat, *([refp] * k_oct), coefs, kl, kr, q)
+    return out.reshape(g, f, c, h, w)
