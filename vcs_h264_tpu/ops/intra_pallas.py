@@ -307,18 +307,20 @@ def _enc_substep(oblk, carry, masks, s_ref, kf_ref, ki_ref, gk_ref, e_ref,
 
     # strict-< first-min search over the 9 per-mode SADs (intraframe.py:
     # 79-144): start from the 16*255 sentinel; earlier modes win ties.
-    # All quantities are exact f32 integers, so < and the selections match
-    # the integer semantics bit-for-bit.
+    # Packed-key formulation (the unrolled 9-step compare loop added ~36
+    # serially-dependent VPU ops to the wavefront's critical path): key =
+    # SAD*16 + mode + 1 is an exact f32 integer (< 2^17), its minimum picks
+    # the smallest SAD with the LOWEST mode on ties — exactly the strict-<
+    # first-min rule — and a key above the packed sentinel 4080*16 means no
+    # mode beat the initial best (the escape).
     p9 = preds.reshape(_NMODE, _NPOS, B)
     d9 = jnp.sum(jnp.abs(p9 - oblk_f[None]), axis=1)      # [9, B] f32
-    best = jnp.full((1, B), float(16 * 255), jnp.float32)
-    mode = jnp.zeros((1, B), jnp.int32)
-    esc = jnp.ones((1, B), jnp.bool_)
-    for m in range(_NMODE):
-        better = d9[m:m + 1] < best
-        best = jnp.where(better, d9[m:m + 1], best)
-        mode = jnp.where(better, m, mode)
-        esc = esc & ~better
+    m_iota = jax.lax.broadcasted_iota(jnp.int32, (_NMODE, B), 0).astype(
+        jnp.float32)                       # (Mosaic has no float iota)
+    kmin = jnp.min(d9 * 16.0 + m_iota + 1.0, axis=0,
+                   keepdims=True)                         # [1, B]
+    esc = kmin > float(16 * 255 * 16)
+    mode = jnp.where(esc, 0, (kmin.astype(jnp.int32) & 15) - 1)
     sel = ((mode == jax.lax.broadcasted_iota(jnp.int32, (_NMODE, B), 0))
            & ~esc).astype(jnp.float32)                    # [9, B]
     pred16 = jnp.sum(p9 * sel[:, None], axis=0)           # [16, B] f32 exact
