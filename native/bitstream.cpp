@@ -335,6 +335,147 @@ int64_t vcs_rc_decode_i16(const uint8_t* in, int64_t nbytes,
 // Multi-symbol stream (intra mode maps, B modes): truncated unary over
 // nsym - 1 adaptive bins, conditioned on the previous symbol (mode maps are
 // strongly spatially correlated).
+// ---------------------------------------------------------------------------
+// v9: zigzag-band-conditioned coefficient contexts + dedicated MV coder.
+//
+// The v8 i16 coder used ONE context set for the whole stream although run/
+// level statistics differ sharply by zigzag band (DC runs are short and
+// levels large; high-band runs are long and levels almost always +-1).
+// Streams are a flat sequence of `block_len`-coefficient zigzag blocks;
+// band(p) of the in-block position conditions the run (at its start
+// position), the sign and the level contexts. Bit-identical Python mirror:
+// io/bitstream.py _py_rc_encode_i16_b / _py_rc_encode_mv.
+
+namespace v9 {
+
+constexpr int kBands = 4;
+
+inline int band(int64_t pos, int32_t block_len) {
+    if (block_len <= 0) return 0;
+    int p = (int)(pos % block_len);
+    if (p == 0) return 0;
+    if (p < 4) return 1;
+    if (p < block_len / 4) return 2;
+    return 3;
+}
+
+constexpr int kMvCap = 8;
+
+}  // namespace v9
+
+int64_t vcs_rc_encode_i16_b(const int16_t* data, int64_t n,
+                            int32_t block_len, uint8_t* out,
+                            int64_t out_cap) {
+    rc::Encoder e{out, out_cap};
+    uint16_t run_bins[v9::kBands][rc::kRunCap];
+    uint16_t lev_bins[v9::kBands][rc::kLevCap];
+    uint16_t sign_p[v9::kBands];
+    for (int b = 0; b < v9::kBands; ++b) {
+        for (auto& p : run_bins[b]) p = rc::kProbInit;
+        for (auto& p : lev_bins[b]) p = rc::kProbInit;
+        sign_p[b] = rc::kProbInit;
+    }
+    int64_t i = 0;
+    while (i < n) {
+        int64_t run = 0;
+        while (i + run < n && data[i + run] == 0) ++run;
+        e.tu(run_bins[v9::band(i, block_len)], rc::kRunCap, (uint32_t)run);
+        i += run;
+        if (i >= n) break;
+        int b = v9::band(i, block_len);
+        int32_t v = data[i++];
+        e.bit(&sign_p[b], v < 0);
+        uint32_t m = (uint32_t)(v < 0 ? -v : v) - 1;
+        e.tu(lev_bins[b], rc::kLevCap, m);
+    }
+    return e.flush();
+}
+
+int64_t vcs_rc_decode_i16_b(const uint8_t* in, int64_t nbytes,
+                            int32_t block_len, int16_t* out,
+                            int64_t n_out) {
+    rc::Decoder d{in, nbytes};
+    d.init();
+    uint16_t run_bins[v9::kBands][rc::kRunCap];
+    uint16_t lev_bins[v9::kBands][rc::kLevCap];
+    uint16_t sign_p[v9::kBands];
+    for (int b = 0; b < v9::kBands; ++b) {
+        for (auto& p : run_bins[b]) p = rc::kProbInit;
+        for (auto& p : lev_bins[b]) p = rc::kProbInit;
+        sign_p[b] = rc::kProbInit;
+    }
+    int64_t i = 0;
+    while (i < n_out) {
+        uint32_t run = d.tu(run_bins[v9::band(i, block_len)], rc::kRunCap);
+        if (d.error) return -1;
+        for (uint32_t k = 0; k < run && i < n_out; ++k) out[i++] = 0;
+        if (i >= n_out) break;
+        int b = v9::band(i, block_len);
+        int neg = d.bit(&sign_p[b]);
+        uint32_t m = d.tu(lev_bins[b], rc::kLevCap);
+        if (d.error) return -1;
+        int32_t v = (int32_t)m + 1;
+        out[i++] = (int16_t)(neg ? -v : v);
+    }
+    return i;
+}
+
+// Motion-vector stream: interleaved (dx, dy) components. Contexts: a zero
+// flag conditioned on (component, previous same-component value nonzero),
+// per-component sign, per-component magnitude TU (cap 8, EG0 tail). MVs are
+// mostly zero with small spatially-correlated values — the v8 run/level
+// model wasted its run contexts on them.
+int64_t vcs_rc_encode_mv(const int16_t* data, int64_t n, uint8_t* out,
+                         int64_t out_cap) {
+    rc::Encoder e{out, out_cap};
+    uint16_t zero_p[4], sign_p[2], mag_bins[2][v9::kMvCap];
+    for (auto& p : zero_p) p = rc::kProbInit;
+    for (auto& p : sign_p) p = rc::kProbInit;
+    for (int c = 0; c < 2; ++c)
+        for (auto& p : mag_bins[c]) p = rc::kProbInit;
+    int prev_nz[2] = {0, 0};
+    for (int64_t i = 0; i < n; ++i) {
+        int c = (int)(i & 1);
+        int32_t v = data[i];
+        int ctx = c * 2 + prev_nz[c];
+        e.bit(&zero_p[ctx], v != 0);
+        if (v != 0) {
+            e.bit(&sign_p[c], v < 0);
+            e.tu(mag_bins[c], v9::kMvCap, (uint32_t)(v < 0 ? -v : v) - 1);
+        }
+        prev_nz[c] = v != 0;
+    }
+    return e.flush();
+}
+
+int64_t vcs_rc_decode_mv(const uint8_t* in, int64_t nbytes, int16_t* out,
+                         int64_t n_out) {
+    rc::Decoder d{in, nbytes};
+    d.init();
+    uint16_t zero_p[4], sign_p[2], mag_bins[2][v9::kMvCap];
+    for (auto& p : zero_p) p = rc::kProbInit;
+    for (auto& p : sign_p) p = rc::kProbInit;
+    for (int c = 0; c < 2; ++c)
+        for (auto& p : mag_bins[c]) p = rc::kProbInit;
+    int prev_nz[2] = {0, 0};
+    for (int64_t i = 0; i < n_out; ++i) {
+        int c = (int)(i & 1);
+        int ctx = c * 2 + prev_nz[c];
+        int nz = d.bit(&zero_p[ctx]);
+        int32_t v = 0;
+        if (nz) {
+            int neg = d.bit(&sign_p[c]);
+            uint32_t m = d.tu(mag_bins[c], v9::kMvCap);
+            if (d.error) return -1;
+            v = (int32_t)m + 1;
+            if (neg) v = -v;
+        }
+        out[i] = (int16_t)v;
+        prev_nz[c] = nz;
+    }
+    return n_out;
+}
+
 int64_t vcs_rc_encode_u8(const uint8_t* data, int64_t n, int32_t nsym,
                          uint8_t* out, int64_t out_cap) {
     if (nsym < 2 || nsym > 32) return -2;

@@ -42,6 +42,49 @@ def test_python_fallback_bit_identical(rng):
     np.testing.assert_array_equal(bs._py_decode(native, 500), data)
 
 
+@pytest.mark.parametrize("block_len", [16, 64])
+def test_rc_banded_roundtrip_and_mirror(rng, block_len):
+    """v9 band-conditioned coefficient coder: native == Python mirror,
+    decode inverts encode, and it beats the single-context v8 coder on
+    DC-heavy block statistics."""
+    n_blocks = 300
+    n = n_blocks * block_len
+    data = np.zeros(n, np.int16)
+    # DC-heavy synthetic coefficients: large DC, sparse small AC
+    dc = np.arange(0, n, block_len)
+    data[dc] = rng.integers(-60, 60, n_blocks)
+    ac = rng.random(n) < 0.06
+    ac[dc] = False
+    data[ac] = rng.integers(-3, 4, int(ac.sum()))
+    blob = bs.rc_encode_i16_b(data, block_len)
+    assert blob == bs._py_rc_encode_i16_b(data, block_len)
+    np.testing.assert_array_equal(bs.rc_decode_i16_b(blob, n, block_len),
+                                  data)
+    np.testing.assert_array_equal(bs._py_rc_decode_i16_b(blob, n, block_len),
+                                  data)
+    assert len(blob) < len(bs.rc_encode(data))
+
+
+def test_rc_mv_roundtrip_and_mirror(rng):
+    """v9 MV coder: native == Python mirror, inverts, and beats the v8
+    token coder on mostly-zero interleaved MV statistics."""
+    n = 2 * 4000
+    data = np.zeros(n, np.int16)
+    nz = rng.random(n) < 0.05
+    data[nz] = rng.integers(-16, 17, int(nz.sum()))
+    blob = bs.rc_encode_mv(data)
+    assert blob == bs._py_rc_encode_mv(data)
+    np.testing.assert_array_equal(bs.rc_decode_mv(blob, n), data)
+    np.testing.assert_array_equal(bs._py_rc_decode_mv(blob, n), data)
+    assert len(blob) < len(bs.rc_encode(data))
+
+
+def test_rc_mv_extremes():
+    data = np.array([0, 0, -32, 32, 1, -1, 0, 16, -16, 0], np.int16)
+    blob = bs.rc_encode_mv(data)
+    np.testing.assert_array_equal(bs.rc_decode_mv(blob, len(data)), data)
+
+
 def test_compression_ratio_on_sparse(rng):
     """Typical quantized-coefficient sparsity compresses well."""
     data = rng.integers(-8, 8, 64 * 1000).astype(np.int16)

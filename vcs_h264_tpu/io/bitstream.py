@@ -37,8 +37,10 @@ _MAGIC = b"VCSH264T"
 # sections); v7 adds B-frame sections to the 4:2:0 layout; v8 switches every
 # entropy-coded stream from plain exp-Golomb to the adaptive range coder
 # (coefficients/MVs: context-modeled tokens; mode maps: prev-conditioned
-# truncated unary instead of raw int8). Older versions still load.
-_VERSION = 8
+# truncated unary instead of raw int8); v9 conditions the coefficient
+# run/sign/level contexts on the zigzag band and gives MV streams their own
+# per-component zero/sign/magnitude contexts. Older versions still load.
+_VERSION = 9
 
 # ---------------------------------------------------------------------------
 # native library loading (with build-on-demand) + python fallback
@@ -81,6 +83,22 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
         lib.vcs_rc_decode_i16.restype = ctypes.c_int64
         lib.vcs_rc_decode_i16.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int64]
+        lib.vcs_rc_encode_i16_b.restype = ctypes.c_int64
+        lib.vcs_rc_encode_i16_b.argtypes = [
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+        lib.vcs_rc_decode_i16_b.restype = ctypes.c_int64
+        lib.vcs_rc_decode_i16_b.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int64]
+        lib.vcs_rc_encode_mv.restype = ctypes.c_int64
+        lib.vcs_rc_encode_mv.argtypes = [
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+        lib.vcs_rc_decode_mv.restype = ctypes.c_int64
+        lib.vcs_rc_decode_mv.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int16), ctypes.c_int64]
         lib.vcs_rc_encode_u8.restype = ctypes.c_int64
@@ -376,6 +394,107 @@ def _py_rc_decode_i16(blob: bytes, n: int) -> np.ndarray:
     return out
 
 
+# ---- v9: zigzag-band-conditioned coefficient contexts + MV coder ----------
+# Bit-identical mirrors of native/bitstream.cpp vcs_rc_*_i16_b / vcs_rc_*_mv.
+# Rationale in the C++ header: the v8 single-context token model ignores
+# that run/level statistics differ sharply by zigzag band, and wastes its
+# run contexts on the near-binary MV streams.
+
+_RC_BANDS = 4
+_RC_MV_CAP = 8
+
+
+def _rc_band(pos: int, block_len: int) -> int:
+    if block_len <= 0:
+        return 0
+    p = pos % block_len
+    if p == 0:
+        return 0
+    if p < 4:
+        return 1
+    if p < block_len // 4:
+        return 2
+    return 3
+
+
+def _py_rc_encode_i16_b(data: np.ndarray, block_len: int) -> bytes:
+    e = _RcEncoder()
+    run_bins = [[_RC_PROB_INIT] * _RC_RUN_CAP for _ in range(_RC_BANDS)]
+    lev_bins = [[_RC_PROB_INIT] * _RC_LEV_CAP for _ in range(_RC_BANDS)]
+    sign = [[_RC_PROB_INIT] for _ in range(_RC_BANDS)]
+    n = len(data)
+    i = 0
+    while i < n:
+        run = 0
+        while i + run < n and data[i + run] == 0:
+            run += 1
+        e.tu(run_bins[_rc_band(i, block_len)], _RC_RUN_CAP, run)
+        i += run
+        if i >= n:
+            break
+        b = _rc_band(i, block_len)
+        v = int(data[i])
+        i += 1
+        e.bit(sign[b], 0, 1 if v < 0 else 0)
+        e.tu(lev_bins[b], _RC_LEV_CAP, abs(v) - 1)
+    return e.flush()
+
+
+def _py_rc_decode_i16_b(blob: bytes, n: int, block_len: int) -> np.ndarray:
+    d = _RcDecoder(blob)
+    run_bins = [[_RC_PROB_INIT] * _RC_RUN_CAP for _ in range(_RC_BANDS)]
+    lev_bins = [[_RC_PROB_INIT] * _RC_LEV_CAP for _ in range(_RC_BANDS)]
+    sign = [[_RC_PROB_INIT] for _ in range(_RC_BANDS)]
+    out = np.zeros(n, np.int16)
+    i = 0
+    while i < n:
+        run = d.tu(run_bins[_rc_band(i, block_len)], _RC_RUN_CAP)
+        i += min(run, n - i)
+        if i >= n:
+            break
+        b = _rc_band(i, block_len)
+        neg = d.bit(sign[b], 0)
+        m = d.tu(lev_bins[b], _RC_LEV_CAP) + 1
+        out[i] = -m if neg else m
+        i += 1
+    return out
+
+
+def _py_rc_encode_mv(data: np.ndarray) -> bytes:
+    e = _RcEncoder()
+    zero_p = [_RC_PROB_INIT] * 4
+    sign_p = [_RC_PROB_INIT] * 2
+    mag = [[_RC_PROB_INIT] * _RC_MV_CAP for _ in range(2)]
+    prev_nz = [0, 0]
+    for i, v in enumerate(np.asarray(data, np.int16).ravel()):
+        v = int(v)
+        c = i & 1
+        e.bit(zero_p, c * 2 + prev_nz[c], 1 if v else 0)
+        if v:
+            e.bit(sign_p, c, 1 if v < 0 else 0)
+            e.tu(mag[c], _RC_MV_CAP, abs(v) - 1)
+        prev_nz[c] = 1 if v else 0
+    return e.flush()
+
+
+def _py_rc_decode_mv(blob: bytes, n: int) -> np.ndarray:
+    d = _RcDecoder(blob)
+    zero_p = [_RC_PROB_INIT] * 4
+    sign_p = [_RC_PROB_INIT] * 2
+    mag = [[_RC_PROB_INIT] * _RC_MV_CAP for _ in range(2)]
+    prev_nz = [0, 0]
+    out = np.zeros(n, np.int16)
+    for i in range(n):
+        c = i & 1
+        nz = d.bit(zero_p, c * 2 + prev_nz[c])
+        if nz:
+            neg = d.bit(sign_p, c)
+            m = d.tu(mag[c], _RC_MV_CAP) + 1
+            out[i] = -m if neg else m
+        prev_nz[c] = nz
+    return out
+
+
 def _py_rc_encode_u8(data: np.ndarray, nsym: int) -> bytes:
     e = _RcEncoder()
     nb = nsym - 1
@@ -472,6 +591,68 @@ def rc_decode_u8(blob: bytes, n: int, nsym: int) -> np.ndarray:
     return out
 
 
+def rc_encode_i16_b(data: np.ndarray, block_len: int) -> bytes:
+    """int16 zigzag-block stream -> range-coded bytes with zigzag-band-
+    conditioned run/sign/level contexts (v9 coefficient streams)."""
+    data = np.ascontiguousarray(data, dtype=np.int16).ravel()
+    lib = load_native()
+    if lib is None or not hasattr(lib, "vcs_rc_encode_i16_b"):
+        return _py_rc_encode_i16_b(data, block_len)
+    cap = 8 * len(data) + 16
+    out = np.empty(cap, np.uint8)
+    nbytes = lib.vcs_rc_encode_i16_b(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), len(data),
+        block_len, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if nbytes < 0:
+        raise ValueError("bitstream encode overflow")
+    return out[:nbytes].tobytes()
+
+
+def rc_decode_i16_b(blob: bytes, n: int, block_len: int) -> np.ndarray:
+    lib = load_native()
+    if lib is None or not hasattr(lib, "vcs_rc_decode_i16_b"):
+        return _py_rc_decode_i16_b(blob, n, block_len)
+    inp = np.frombuffer(blob, np.uint8)
+    out = np.empty(n, np.int16)
+    got = lib.vcs_rc_decode_i16_b(
+        inp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(inp),
+        block_len, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n)
+    if got != n:
+        raise ValueError(f"bitstream decode error: {got} != {n}")
+    return out
+
+
+def rc_encode_mv(data: np.ndarray) -> bytes:
+    """Interleaved (dx, dy) int16 stream -> range-coded bytes (v9: per-
+    component zero-flag/sign/magnitude contexts)."""
+    data = np.ascontiguousarray(data, dtype=np.int16).ravel()
+    lib = load_native()
+    if lib is None or not hasattr(lib, "vcs_rc_encode_mv"):
+        return _py_rc_encode_mv(data)
+    cap = 8 * len(data) + 16
+    out = np.empty(cap, np.uint8)
+    nbytes = lib.vcs_rc_encode_mv(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if nbytes < 0:
+        raise ValueError("bitstream encode overflow")
+    return out[:nbytes].tobytes()
+
+
+def rc_decode_mv(blob: bytes, n: int) -> np.ndarray:
+    lib = load_native()
+    if lib is None or not hasattr(lib, "vcs_rc_decode_mv"):
+        return _py_rc_decode_mv(blob, n)
+    inp = np.frombuffer(blob, np.uint8)
+    out = np.empty(n, np.int16)
+    got = lib.vcs_rc_decode_mv(
+        inp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(inp),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n)
+    if got != n:
+        raise ValueError(f"bitstream decode error: {got} != {n}")
+    return out
+
+
 def rle_encode(data: np.ndarray) -> bytes:
     """int16 array -> entropy-coded bytes."""
     data = np.ascontiguousarray(data, dtype=np.int16).ravel()
@@ -536,6 +717,23 @@ def _stream_codecs(version: int):
     return rle_encode, rle_decode
 
 
+def _coeff_codecs(version: int, bs: int):
+    """(encode, decode) for zigzag coefficient streams: v9+ band-conditioned
+    contexts (block_len = bs*bs), v8 single-context range coder, older
+    exp-Golomb."""
+    if version >= 9:
+        return (lambda d: rc_encode_i16_b(d, bs * bs),
+                lambda blob, n: rc_decode_i16_b(blob, n, bs * bs))
+    return _stream_codecs(version)
+
+
+def _mv_codecs(version: int):
+    """(encode, decode) for MV streams: v9+ dedicated MV contexts."""
+    if version >= 9:
+        return rc_encode_mv, rc_decode_mv
+    return _stream_codecs(version)
+
+
 def _decode_modes(blob: bytes, n: int, nsym: int, version: int) -> np.ndarray:
     """Mode-map stream: v8+ range-coded symbols, older raw int8 bytes."""
     if version >= 8:
@@ -546,7 +744,8 @@ def _decode_modes(blob: bytes, n: int, nsym: int, version: int) -> np.ndarray:
 def _write_intra_payload(fh, qcoef, modes, escape) -> None:
     """One lossy-intra payload section: zigzag4 range-coded coeffs,
     range-coded 9-symbol modes, range-coded escape."""
-    q_blob = rc_encode(_zigzag_plane(np.asarray(qcoef, np.int16), 4))
+    q_blob = rc_encode_i16_b(_zigzag_plane(np.asarray(qcoef, np.int16), 4),
+                             16)
     modes_b = rc_encode_u8(np.asarray(modes, np.uint8), 9)
     esc = rc_encode(np.asarray(escape).astype(np.int16).ravel())
     fh.write(struct.pack("<QQQ", len(q_blob), len(modes_b), len(esc)))
@@ -556,9 +755,10 @@ def _write_intra_payload(fh, qcoef, modes, escape) -> None:
 def _read_intra_payload(fh, shape, version):
     """Inverse of _write_intra_payload for a [C, H, W] plane stack."""
     _, dec = _stream_codecs(version)
+    _, dec_q = _coeff_codecs(version, 4)
     c, ih, iw = shape
     ql, ml, el = struct.unpack("<QQQ", fh.read(24))
-    iq = _unzigzag_plane(dec(fh.read(ql), c * ih * iw),
+    iq = _unzigzag_plane(dec_q(fh.read(ql), c * ih * iw),
                          (c, ih, iw), 4).astype(np.int16)
     nm = c * (ih // 4) * (iw // 4)
     imodes = _decode_modes(fh.read(ml), nm, 9, version).reshape(
@@ -622,7 +822,7 @@ def _write_gop_420(fh, gop, cfg, bs) -> None:
         fh.write(np.asarray(gop.i_y, np.uint8).tobytes())
         fh.write(np.asarray(gop.i_c, np.uint8).tobytes())
     fh.write(struct.pack("<I", gop.mv.shape[0]))
-    mv_blob = rc_encode(np.asarray(gop.mv, np.int16).ravel())
+    mv_blob = rc_encode_mv(np.asarray(gop.mv, np.int16).ravel())
     fh.write(struct.pack("<Q", len(mv_blob)))
     fh.write(mv_blob)
 
@@ -630,7 +830,8 @@ def _write_gop_420(fh, gop, cfg, bs) -> None:
         if res is None:
             fh.write(struct.pack("<Q", 0))
             return
-        blob = rc_encode(_zigzag_plane(np.asarray(res, np.int16), bs))
+        blob = rc_encode_i16_b(
+            _zigzag_plane(np.asarray(res, np.int16), bs), bs * bs)
         fh.write(struct.pack("<Q", len(blob)))
         fh.write(blob)
 
@@ -640,7 +841,7 @@ def _write_gop_420(fh, gop, cfg, bs) -> None:
     n_b = 0 if gop.b_mv is None else gop.b_mv.shape[0]
     fh.write(struct.pack("<I", n_b))
     if n_b:
-        bmv_blob = rc_encode(np.asarray(gop.b_mv, np.int16).ravel())
+        bmv_blob = rc_encode_mv(np.asarray(gop.b_mv, np.int16).ravel())
         mode_b = rc_encode_u8(np.asarray(gop.b_mode, np.uint8), 3)
         fh.write(struct.pack("<QQ", len(bmv_blob), len(mode_b)))
         fh.write(bmv_blob); fh.write(mode_b)
@@ -656,6 +857,8 @@ def _load_vcs_420(fh, cfg: CodecConfig, n_gops: int, bs: int,
                                                  decode_intra_frame)
     import jax.numpy as jnp
     _, dec = _stream_codecs(version)
+    _, dec_co = _coeff_codecs(version, bs)
+    _, dec_mv = _mv_codecs(version)
     gops = []
     for _ in range(n_gops):
         h, w = struct.unpack("<II", fh.read(8))
@@ -691,13 +894,13 @@ def _load_vcs_420(fh, cfg: CodecConfig, n_gops: int, bs: int,
         (n_p,) = struct.unpack("<I", fh.read(4))
         (mv_len,) = struct.unpack("<Q", fh.read(8))
         nbh, nbw = h // bs, w // bs
-        mv = dec(fh.read(mv_len), n_p * nbh * nbw * 2)
+        mv = dec_mv(fh.read(mv_len), n_p * nbh * nbw * 2)
         mv = mv.reshape(n_p, nbh, nbw, 2).astype(np.int32)
         def get_res(shape):
             (blob_len,) = struct.unpack("<Q", fh.read(8))
             if blob_len == 0:
                 return None
-            flat = dec(fh.read(blob_len), int(np.prod(shape)))
+            flat = dec_co(fh.read(blob_len), int(np.prod(shape)))
             return _unzigzag_plane(flat, shape, bs).astype(np.int16)
 
         res_y = get_res((n_p, h, w))
@@ -707,7 +910,7 @@ def _load_vcs_420(fh, cfg: CodecConfig, n_gops: int, bs: int,
             (n_b,) = struct.unpack("<I", fh.read(4))
             if n_b:
                 bl, ml = struct.unpack("<QQ", fh.read(16))
-                b_mv = dec(fh.read(bl), n_b * 2 * nbh * nbw * 2)
+                b_mv = dec_mv(fh.read(bl), n_b * 2 * nbh * nbw * 2)
                 b_mv = b_mv.reshape(n_b, 2, nbh, nbw, 2).astype(np.int32)
                 b_mode = _decode_modes(fh.read(ml), n_b * nbh * nbw, 3,
                                        version).reshape(n_b, nbh, nbw)
@@ -794,7 +997,7 @@ def _write_gop_fullres(fh, gop, cfg, bs) -> None:
             fh.write(struct.pack("<B", 0))
             fh.write(i_frame.tobytes())
         fh.write(struct.pack("<I", mv.shape[0]))
-        mv_blob = rc_encode(mv.ravel())
+        mv_blob = rc_encode_mv(mv.ravel())
         fh.write(struct.pack("<Q", len(mv_blob)))
         fh.write(mv_blob)
 
@@ -804,7 +1007,7 @@ def _write_gop_fullres(fh, gop, cfg, bs) -> None:
             res = np.asarray(res)
             if cfg.with_dct:
                 res16 = np.round(res).astype(np.int16)
-                return rc_encode(_zigzag_plane(res16, bs))
+                return rc_encode_i16_b(_zigzag_plane(res16, bs), bs * bs)
             # wrap residuals are bytes; recenter to int16 around 0 for
             # short codes (values cluster at 0 and 255)
             res16 = res.astype(np.int16)
@@ -819,7 +1022,7 @@ def _write_gop_fullres(fh, gop, cfg, bs) -> None:
         n_b = 0 if gop.b_mv is None else gop.b_mv.shape[0]
         fh.write(struct.pack("<I", n_b))
         if n_b:
-            bmv_blob = rc_encode(
+            bmv_blob = rc_encode_mv(
                 np.asarray(gop.b_mv, np.int16).ravel())
             mode_b = rc_encode_u8(np.asarray(gop.b_mode, np.uint8), 3)
             fh.write(struct.pack("<QQ", len(bmv_blob), len(mode_b)))
@@ -860,7 +1063,7 @@ def load_vcs(path: str) -> EncodedVideo:
             raise ValueError("not a .vcs file")
         (version, h, w, fps, num_frames, bs, qf, n_gops,
          mode) = struct.unpack("<IIIdIIdII", fh.read(44))
-        if version not in (3, 4, 5, 6, 7, _VERSION):
+        if version not in (3, 4, 5, 6, 7, 8, _VERSION):
             raise ValueError(f"unsupported version {version}")
         if not (1 <= h <= 16384 and 1 <= w <= 16384):
             raise ValueError(f".vcs: implausible dimensions {h}x{w}")
@@ -890,6 +1093,8 @@ def load_vcs(path: str) -> EncodedVideo:
                 num_frames=num_frames,
                 gops=_load_vcs_420(fh, cfg, n_gops, bs, version))
         _, dec = _stream_codecs(version)
+        _, dec_co = _coeff_codecs(version, bs)
+        _, dec_mv = _mv_codecs(version)
         gops = []
         for _ in range(n_gops):
             c, ih, iw = struct.unpack("<III", fh.read(12))
@@ -932,7 +1137,7 @@ def load_vcs(path: str) -> EncodedVideo:
             (n_p,) = struct.unpack("<I", fh.read(4))
             (mv_len,) = struct.unpack("<Q", fh.read(8))
             nbh, nbw = ih // bs, iw // bs
-            mv = dec(fh.read(mv_len), n_p * nbh * nbw * 2)
+            mv = dec_mv(fh.read(mv_len), n_p * nbh * nbw * 2)
             mv = mv.reshape(n_p, nbh, nbw, 2).astype(np.int32)
             def read_res(n_f):
                 (blob_len,) = struct.unpack("<Q", fh.read(8))
@@ -940,7 +1145,7 @@ def load_vcs(path: str) -> EncodedVideo:
                     return None
                 blob = fh.read(blob_len)
                 if mode == 2:
-                    flat = dec(blob, n_f * c * ih * iw)
+                    flat = dec_co(blob, n_f * c * ih * iw)
                     return _unzigzag_plane(
                         flat, (n_f, c, ih, iw), bs).astype(np.int16)
                 flat = dec(blob, n_f * c * ih * iw).astype(np.int32)
@@ -952,7 +1157,7 @@ def load_vcs(path: str) -> EncodedVideo:
                 (n_b,) = struct.unpack("<I", fh.read(4))
                 if n_b:
                     bl, ml = struct.unpack("<QQ", fh.read(16))
-                    b_mv = dec(fh.read(bl), n_b * 2 * nbh * nbw * 2)
+                    b_mv = dec_mv(fh.read(bl), n_b * 2 * nbh * nbw * 2)
                     b_mv = b_mv.reshape(n_b, 2, nbh, nbw, 2).astype(np.int32)
                     b_mode = _decode_modes(fh.read(ml), n_b * nbh * nbw, 3,
                                            version).reshape(n_b, nbh, nbw)
