@@ -420,6 +420,102 @@ int64_t vcs_rc_decode_i16_b(const uint8_t* in, int64_t nbytes,
     return i;
 }
 
+// v10: per-block coded-block-flag + in-block runs/levels + end-of-block
+// flag. The v8/v9 token structure let zero runs cross block boundaries, so
+// every inter-block gap paid a truncated-unary + exp-Golomb tail (~20 bits
+// per gap on sparse streams); a CBF bit conditioned on the previous block's
+// CBF costs ~0.1 bit per zero block instead, and an EOB flag after each
+// level replaces the trailing run. Measured on real QF50 coefficient
+// streams: -37% vs the v8 coder (tools/exp_entropy.py). Band contexts as
+// in v9. Streams must be a whole number of block_len blocks.
+int64_t vcs_rc_encode_i16_cbf(const int16_t* data, int64_t n,
+                              int32_t block_len, uint8_t* out,
+                              int64_t out_cap) {
+    if (block_len <= 0 || n % block_len) return -2;
+    rc::Encoder e{out, out_cap};
+    uint16_t run_bins[v9::kBands][rc::kRunCap];
+    uint16_t lev_bins[v9::kBands][rc::kLevCap];
+    uint16_t sign_p[v9::kBands], eob_p[v9::kBands], cbf_p[2];
+    for (int b = 0; b < v9::kBands; ++b) {
+        for (auto& p : run_bins[b]) p = rc::kProbInit;
+        for (auto& p : lev_bins[b]) p = rc::kProbInit;
+        sign_p[b] = rc::kProbInit;
+        eob_p[b] = rc::kProbInit;
+    }
+    cbf_p[0] = cbf_p[1] = rc::kProbInit;
+    int prev_cbf = 0;
+    for (int64_t blk = 0; blk < n; blk += block_len) {
+        const int16_t* d = data + blk;
+        int last_nz = -1;
+        for (int p = 0; p < block_len; ++p)
+            if (d[p] != 0) last_nz = p;
+        int cbf = last_nz >= 0;
+        e.bit(&cbf_p[prev_cbf], cbf);
+        prev_cbf = cbf;
+        if (!cbf) continue;
+        int pos = 0;
+        while (pos <= last_nz) {
+            int run = 0;
+            while (d[pos + run] == 0) ++run;
+            e.tu(run_bins[v9::band(pos, block_len)], rc::kRunCap,
+                 (uint32_t)run);
+            pos += run;
+            int b = v9::band(pos, block_len);
+            int32_t v = d[pos];
+            e.bit(&sign_p[b], v < 0);
+            e.tu(lev_bins[b], rc::kLevCap,
+                 (uint32_t)(v < 0 ? -v : v) - 1);
+            e.bit(&eob_p[b], pos == last_nz);
+            ++pos;
+        }
+    }
+    return e.flush();
+}
+
+int64_t vcs_rc_decode_i16_cbf(const uint8_t* in, int64_t nbytes,
+                              int32_t block_len, int16_t* out,
+                              int64_t n_out) {
+    if (block_len <= 0 || n_out % block_len) return -2;
+    rc::Decoder d{in, nbytes};
+    d.init();
+    uint16_t run_bins[v9::kBands][rc::kRunCap];
+    uint16_t lev_bins[v9::kBands][rc::kLevCap];
+    uint16_t sign_p[v9::kBands], eob_p[v9::kBands], cbf_p[2];
+    for (int b = 0; b < v9::kBands; ++b) {
+        for (auto& p : run_bins[b]) p = rc::kProbInit;
+        for (auto& p : lev_bins[b]) p = rc::kProbInit;
+        sign_p[b] = rc::kProbInit;
+        eob_p[b] = rc::kProbInit;
+    }
+    cbf_p[0] = cbf_p[1] = rc::kProbInit;
+    for (int64_t i = 0; i < n_out; ++i) out[i] = 0;
+    int prev_cbf = 0;
+    for (int64_t blk = 0; blk < n_out; blk += block_len) {
+        int cbf = d.bit(&cbf_p[prev_cbf]);
+        prev_cbf = cbf;
+        if (!cbf) continue;
+        int pos = 0;
+        for (;;) {
+            uint32_t run = d.tu(run_bins[v9::band(pos, block_len)],
+                                rc::kRunCap);
+            if (d.error) return -1;
+            pos += (int)run;
+            if (pos >= block_len) return -1;
+            int b = v9::band(pos, block_len);
+            int neg = d.bit(&sign_p[b]);
+            uint32_t m = d.tu(lev_bins[b], rc::kLevCap);
+            if (d.error) return -1;
+            int32_t v = (int32_t)m + 1;
+            out[blk + pos] = (int16_t)(neg ? -v : v);
+            int eob = d.bit(&eob_p[b]);
+            ++pos;
+            if (eob) break;
+            if (pos >= block_len) return -1;
+        }
+    }
+    return n_out;
+}
+
 // Motion-vector stream: interleaved (dx, dy) components. Contexts: a zero
 // flag conditioned on (component, previous same-component value nonzero),
 // per-component sign, per-component magnitude TU (cap 8, EG0 tail). MVs are

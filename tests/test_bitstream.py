@@ -65,6 +65,40 @@ def test_rc_banded_roundtrip_and_mirror(rng, block_len):
     assert len(blob) < len(bs.rc_encode(data))
 
 
+@pytest.mark.parametrize("block_len", [16, 64])
+def test_rc_cbf_roundtrip_and_mirror(rng, block_len):
+    """v10 CBF coder: native == Python mirror, decode inverts encode, and
+    it beats the banded v9 coder on sparse block statistics (most blocks
+    all-zero, the .vcs coefficient regime)."""
+    n_blocks = 400
+    n = n_blocks * block_len
+    data = np.zeros(n, np.int16)
+    live = rng.random(n_blocks) < 0.25         # 75% of blocks all-zero
+    for bi in np.flatnonzero(live):
+        k = rng.integers(1, 6)
+        pos = rng.choice(block_len, k, replace=False)
+        data[bi * block_len + pos] = rng.integers(-9, 10, k)
+        if (data[bi * block_len:(bi + 1) * block_len] == 0).all():
+            data[bi * block_len] = 1
+    blob = bs.rc_encode_i16_cbf(data, block_len)
+    assert blob == bs._py_rc_encode_i16_cbf(data, block_len)
+    np.testing.assert_array_equal(bs.rc_decode_i16_cbf(blob, n, block_len),
+                                  data)
+    np.testing.assert_array_equal(
+        bs._py_rc_decode_i16_cbf(blob, n, block_len), data)
+    assert len(blob) < len(bs.rc_encode_i16_b(data, block_len))
+
+
+def test_rc_cbf_all_zero_and_full():
+    for data in (np.zeros(64 * 10, np.int16),
+                 np.arange(1, 65, dtype=np.int16).reshape(1, 64).repeat(
+                     3, axis=0).ravel()):
+        blob = bs.rc_encode_i16_cbf(data, 64)
+        np.testing.assert_array_equal(bs.rc_decode_i16_cbf(blob, len(data),
+                                                           64), data)
+        assert blob == bs._py_rc_encode_i16_cbf(data, 64)
+
+
 def test_rc_mv_roundtrip_and_mirror(rng):
     """v9 MV coder: native == Python mirror, inverts, and beats the v8
     token coder on mostly-zero interleaved MV statistics."""

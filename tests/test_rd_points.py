@@ -19,14 +19,15 @@ import pytest
 from vcs_h264_tpu.config import CodecConfig
 
 # (video, mode) -> (max bytes/frame, min PSNR dB capped at 99)
-# max bytes = round-3 measurement + 5% headroom; min PSNR = round-3 - 0.3 dB.
-# Round-3 v8 range coder: 19154 / 12748 / 32411 / 21319 B/frame (1.46-1.57x
-# smaller than the round-2 exp-Golomb streams at identical PSNR).
+# max bytes = round-4 measurement + 5% headroom; min PSNR = round-4 - 0.3 dB.
+# Round-4 v10 coder (per-block CBF + in-block run/level/EOB tokens):
+# 13365 / 9380 / 22479 / 15126 B/frame — 26-31% below the round-3 v8
+# points (19154 / 12748 / 32411 / 21319) at identical PSNR.
 _PINS = {
-    ("slow_traffic_small.mp4", "production"): (20100, 34.97),
-    ("slow_traffic_small.mp4", "chroma420"): (13400, 34.91),
-    ("cat_short.mp4", "production"): (34000, 35.93),
-    ("cat_short.mp4", "chroma420"): (22400, 36.60),
+    ("slow_traffic_small.mp4", "production"): (14050, 34.97),
+    ("slow_traffic_small.mp4", "chroma420"): (9850, 34.91),
+    ("cat_short.mp4", "production"): (23610, 35.93),
+    ("cat_short.mp4", "chroma420"): (15890, 36.60),
 }
 
 _VIDEOS = "/root/reference/videos"

@@ -91,6 +91,25 @@ def main():
     dec.decode_to_file(loaded, out_mp4)
     t_dec = time.perf_counter() - t0
 
+    # range-coder MB/s microbenchmark (VERDICT r3 Next #7): isolate the
+    # native entropy codec from the pipeline wall clock. Input = the real
+    # coefficient streams of this video's GOPs (the regime the coder runs
+    # in), measured single-threaded; MB/s are uncompressed-stream megabytes.
+    from vcs_h264_tpu.io.bitstream import (rc_encode_i16_cbf,
+                                           rc_decode_i16_cbf, _zigzag_plane)
+    bs_ = cfg.block_size
+    streams = [_zigzag_plane(np.round(np.asarray(g.residuals))
+                             .astype(np.int16), bs_)
+               for g in video.gops if g.residuals is not None]
+    raw_mb = sum(2 * len(s) for s in streams) / 1e6
+    t0 = time.perf_counter()
+    blobs = [rc_encode_i16_cbf(s, bs_ * bs_) for s in streams]
+    t_rc_e = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for s, b in zip(streams, blobs):
+        rc_decode_i16_cbf(b, len(s), bs_ * bs_)
+    t_rc_d = time.perf_counter() - t0
+
     size = os.path.getsize(out_vcs)
     print(json.dumps({
         "res": args.res, "frames": n, "platform": jax.default_backend(),
@@ -98,6 +117,8 @@ def main():
         "decode_wall_fps": round(n / t_dec, 1),
         "encode_s": round(t_enc, 3), "decode_s": round(t_dec, 3),
         "vcs_bytes_per_frame": size // n,
+        "range_coder_encode_MBps": round(raw_mb / t_rc_e, 1),
+        "range_coder_decode_MBps": round(raw_mb / t_rc_d, 1),
     }))
 
 
