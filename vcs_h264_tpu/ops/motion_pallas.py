@@ -61,7 +61,7 @@ _VMEM_SCRATCH_BUDGET = 8 * 1024 * 1024
 
 
 def _check_scratch_budget(k: int, f: int, c: int, bs: int, w: int) -> None:
-    scratch = (k * f + k + f) * c * bs * w
+    scratch = 2 * (k * f + k) * c * bs * w
     if scratch > _VMEM_SCRATCH_BUDGET:
         raise ValueError(
             f"SAD kernel VMEM scratch {scratch / 2**20:.1f} MiB exceeds the "
@@ -84,7 +84,7 @@ def _sad_kernel_gops(imin_ref, skip_ref, cur_ref, *refs, k, step, reach, bs,
     cur_ref [1, 1, F*C*bs, W] int8 (recentered); refs = K phase refs
     [1, 1, 1, C*bs, Wp] int8 (the candidate row octets, aligned by the index
     maps), then sel [W, nbw] int8, out [1, 1, K, K*F, nbw] i32, and the
-    [(K*F + K + F)*C*bs, W] int8 matmul-operand scratch.
+    [2, (K*F + K)*C*bs, W] int8 double-buffered matmul-operand scratch.
 
     skip_ref [B, nbh]: 1 marks a block row whose every block of every frame
     passes the saturating static check — its sweep output is fully
@@ -105,7 +105,14 @@ def _sad_kernel_gops(imin_ref, skip_ref, cur_ref, *refs, k, step, reach, bs,
     @pl.when(skip_ref[g, bi] == 0)
     def _():
         cur = cur_ref[0, 0]                          # [F*C*bs, W] int8
-        buf_ref[n_cmp + n_seg:] = cur                # cur rows: once/program
+        # the cur box sums are candidate-independent: ONE small matmul per
+        # program instead of riding every per-candidate matmul
+        c_box = jax.lax.dot_general(
+            cur, sel_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        nbw = c_box.shape[-1]
+        c_box = c_box.reshape(f, rows, nbw).sum(axis=1)      # [F, nbw]
         # the VPU has no packed int8 compare (Mosaic: "Target does not
         # support this comparison" on vector<8x128x4xi8>), so widen each
         # operand ONCE — curb per program, ref rows per row-candidate —
@@ -114,22 +121,24 @@ def _sad_kernel_gops(imin_ref, skip_ref, cur_ref, *refs, k, step, reach, bs,
         for ki in range(k):
             ref_rows = phase_refs[ki][0, 0, 0]       # [C*bs, Wp] int8
             ref32 = ref_rows.astype(jnp.int32)
+            # double-buffered operand scratch: the ki+1 fills (VPU) overlap
+            # the ki box-sum matmul (MXU) instead of serializing on one
+            # buffer's write-after-read hazard
+            buf = buf_ref.at[ki & 1]
             for kj in range(k):
                 off = off0 + step * kj
                 seg = jax.lax.slice(ref_rows, (0, off), (rows, off + w))
                 seg32 = jax.lax.slice(ref32, (0, off), (rows, off + w))
                 cmp = (seg32[None] < curb).astype(jnp.int8)  # [F, rows, W]
-                buf_ref[kj * f * rows:(kj + 1) * f * rows] = (
+                buf[kj * f * rows:(kj + 1) * f * rows] = (
                     cmp.reshape(f * rows, w))
-                buf_ref[n_cmp + kj * rows:n_cmp + (kj + 1) * rows] = seg
+                buf[n_cmp + kj * rows:n_cmp + (kj + 1) * rows] = seg
             box = jax.lax.dot_general(
-                buf_ref[...], sel_ref[...],
+                buf[...], sel_ref[...],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)            # [n_rows, nbw]
-            nbw = box.shape[-1]
             cnt = box[:n_cmp].reshape(k, f, rows, nbw).sum(axis=2)
             r_box = box[n_cmp:n_cmp + n_seg].reshape(k, rows, nbw).sum(axis=1)
-            c_box = box[n_cmp + n_seg:].reshape(f, rows, nbw).sum(axis=1)
             sad = 256 * cnt + r_box[:, None] - c_box[None]   # [K, F, nbw]
             out_ref[0, 0, ki] = sad.reshape(k * f, nbw).astype(jnp.int32)
 
@@ -211,7 +220,7 @@ def sad_candidates_pallas_gops(curs: jnp.ndarray, refs: jnp.ndarray,
         out_specs=pl.BlockSpec((1, 1, k, k * f, nbw),
                                lambda g, bi, im, rs: (g, bi, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM(((k * f + k + f) * c * bs, w),
+        scratch_shapes=[pltpu.VMEM((2, (k * f + k) * c * bs, w),
                                    jnp.int8)],
     )
     out = pl.pallas_call(
