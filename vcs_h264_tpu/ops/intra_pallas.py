@@ -303,7 +303,11 @@ def _enc_substep(oblk, carry, masks, s_ref, kf_ref, ki_ref, gk_ref, e_ref,
     u, l, ul, ur, m_u, m_l, m_ur = _neighbors(carry, masks)
     feats, dc = _features_and_dc(u, l, ul, ur, m_u, m_l, m_ur)
     preds = _all_preds(feats, dc, s_ref)                  # [144, B] f32
-    oblk_f = oblk.astype(jnp.float32)
+    # oblk arrives as recentered int8 (the [T',16,B] streams dominated the
+    # stage cost as int32: the XLA-side skew transform alone was 7.4 ms vs
+    # the kernel's 6.8 at 720p/24 planes — int8/int16 boundary dtypes
+    # quarter that traffic); +128 restores the exact pixel values
+    oblk_f = oblk.astype(jnp.float32) + 128.0
 
     # strict-< first-min search over the 9 per-mode SADs (intraframe.py:
     # 79-144): start from the 16*255 sentinel; earlier modes win ties.
@@ -346,8 +350,8 @@ def _enc_kernel(orig_ref, mask_ref, s_ref, kf_ref, ki_ref, gk_ref, e_ref,
         (q, mode, esc, rec), carry = _enc_substep(
             orig_ref[0, j], carry, mask_ref[0, j],
             s_ref, kf_ref, ki_ref, gk_ref, e_ref, qstep, B)
-        q_ref[0, j] = q
-        rec_ref[0, j] = rec
+        q_ref[0, j] = q.astype(jnp.int16)
+        rec_ref[0, j] = (rec - 128).astype(jnp.int8)
         mode_ref[0, j] = mode
         esc_ref[0, j] = esc.astype(jnp.int32)
     for r, v in zip(scratch, carry):
@@ -356,6 +360,7 @@ def _enc_kernel(orig_ref, mask_ref, s_ref, kf_ref, ki_ref, gk_ref, e_ref,
 
 def _dec_substep(res, mode, live, carry, masks, s_ref, ki_ref, e_ref,
                  qstep, clip, B):
+    res = res.astype(jnp.int32)          # int16 stream (see _enc_substep)
     if qstep:
         res = _core_dequant_inv(res, ki_ref, qstep)
     u, l, ul, ur, m_u, m_l, m_ur = _neighbors(carry, masks)
@@ -514,20 +519,22 @@ def encode_lossy_planes(planes: jnp.ndarray, qstep: int,
                   const((9, 16))],
         out_specs=[blk, sca, sca, blk],
         scratch_shapes=scratch)
-    orig_p = _skew(planes).reshape(Tp // k, k, 16, B)
+    orig_p = _skew((planes - 128).astype(jnp.int8)).reshape(
+        Tp // k, k, 16, B)
     q_l, mode_l, esc_l, rec_l = pl.pallas_call(
         functools.partial(_enc_kernel, qstep=qstep, B=B),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((Tp // k, k, 16, B), jnp.int32),
+        out_shape=[jax.ShapeDtypeStruct((Tp // k, k, 16, B), jnp.int16),
                    jax.ShapeDtypeStruct((Tp // k, k, 1, B), jnp.int32),
                    jax.ShapeDtypeStruct((Tp // k, k, 1, B), jnp.int32),
-                   jax.ShapeDtypeStruct((Tp // k, k, 16, B), jnp.int32)],
+                   jax.ShapeDtypeStruct((Tp // k, k, 16, B), jnp.int8)],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(orig_p, masks.reshape(Tp // k, k, 4, B), s_m, kf, ki, gk, e_m)
     unv = lambda x: _unskew(x.reshape(Tp, 16, B), n, h, w)
     uns = lambda x: _unskew_scalar(x.reshape(Tp, 1, B), n, nbh, nbw)
-    return (unv(q_l), uns(mode_l), uns(esc_l) != 0, unv(rec_l))
+    return (unv(q_l).astype(jnp.int32), uns(mode_l), uns(esc_l) != 0,
+            unv(rec_l).astype(jnp.int32) + 128)
 
 
 def decode_planes(res_planes: jnp.ndarray, modes: jnp.ndarray,

@@ -78,7 +78,7 @@ def _sel_np(w: int, bs: int) -> np.ndarray:
 
 
 def _sad_kernel_gops(imin_ref, skip_ref, cur_ref, *refs, k, step, reach, bs,
-                     w, c, f, pad):
+                     w, c, f, pad, nbuf):
     """One program per (gop, block row), all K row-candidates inside.
 
     cur_ref [1, 1, F*C*bs, W] int8 (recentered); refs = K phase refs
@@ -123,8 +123,10 @@ def _sad_kernel_gops(imin_ref, skip_ref, cur_ref, *refs, k, step, reach, bs,
             ref32 = ref_rows.astype(jnp.int32)
             # double-buffered operand scratch: the ki+1 fills (VPU) overlap
             # the ki box-sum matmul (MXU) instead of serializing on one
-            # buffer's write-after-read hazard
-            buf = buf_ref.at[ki & 1]
+            # buffer's write-after-read hazard. Mosaic rejects memref slices
+            # whose minor dim is not lane-aligned, so sub-128-wide frames
+            # (tests) fall back to a single flat buffer (nbuf == 1).
+            buf = buf_ref.at[ki % nbuf] if nbuf > 1 else buf_ref
             for kj in range(k):
                 off = off0 + step * kj
                 seg = jax.lax.slice(ref_rows, (0, off), (rows, off + w))
@@ -190,8 +192,10 @@ def sad_candidates_pallas_gops(curs: jnp.ndarray, refs: jnp.ndarray,
     i_min = jnp.asarray(plan.pos_i[:, 0], jnp.int32)
     sel = jnp.asarray(_sel_np(w, bs), jnp.int8)
 
+    nbuf = 2 if w % 128 == 0 else 1
     kernel = functools.partial(_sad_kernel_gops, k=k, step=step,
-                               reach=reach, bs=bs, w=w, c=c, f=f, pad=pad)
+                               reach=reach, bs=bs, w=w, c=c, f=f, pad=pad,
+                               nbuf=nbuf)
 
     def phase_spec(ki):
         # skipped rows redirect their DMAs to block 0: consecutive static
@@ -220,8 +224,9 @@ def sad_candidates_pallas_gops(curs: jnp.ndarray, refs: jnp.ndarray,
         out_specs=pl.BlockSpec((1, 1, k, k * f, nbw),
                                lambda g, bi, im, rs: (g, bi, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((2, (k * f + k) * c * bs, w),
-                                   jnp.int8)],
+        scratch_shapes=[pltpu.VMEM(
+            (nbuf, (k * f + k) * c * bs, w) if nbuf > 1
+            else ((k * f + k) * c * bs, w), jnp.int8)],
     )
     out = pl.pallas_call(
         kernel,
