@@ -196,7 +196,7 @@ def _shift_m1(x):
     return jnp.concatenate([z, x[..., :-1]], axis=-1)
 
 
-def _neighbors(carry, masks):
+def _neighbors(carry, masks8):
     """u/l [4,B], ul [1,B], ur [4,B] with the reference 128 fills + ur
     fallback. masks [4, B] i32. Skewed-layout neighbor lanes: u -> diag t-2
     lane bi-1, l -> diag t-1 lane bi, ul -> diag t-3 lane bi-1, ur -> diag
@@ -206,6 +206,7 @@ def _neighbors(carry, masks):
     stages so no sub-step ever slices a register value (slices carry offset
     layouts Mosaic cannot shift or concatenate)."""
     row1, col1, row2, _, _, cor3 = carry
+    masks = masks8.astype(jnp.int32)   # int8 stream; no packed int8 compare
     fill = jnp.int32(128)
     m_u, m_l = masks[0:1] != 0, masks[1:2] != 0           # [1, B]
     m_ul, m_ur = masks[2:3] != 0, masks[3:4] != 0
@@ -380,7 +381,9 @@ def _dec_substep(res, mode, live, carry, masks, s_ref, ki_ref, e_ref,
 def _dec_kernel(res_ref, mask_ref, mode_in, esc_in, s_ref, ki_ref, e_ref,
                 out_ref, *scratch, qstep, clip, B):
     """qstep > 0: res_ref holds quantized coefficients (dequantized here);
-    qstep == 0: res_ref holds exact residuals (lossless path)."""
+    qstep == 0: res_ref holds exact residuals (lossless path). Clipped
+    output rides an int8 stream (recentered; the unskew relayout is the
+    stage's real cost, see _enc_substep)."""
     t0 = pl.program_id(0)
     _init_carry(t0, scratch, B)
     carry = tuple(r[...] for r in scratch)
@@ -388,7 +391,7 @@ def _dec_kernel(res_ref, mask_ref, mode_in, esc_in, s_ref, ki_ref, e_ref,
         block, carry = _dec_substep(
             res_ref[0, j], mode_in[0, j], esc_in[0, j] == 0, carry,
             mask_ref[0, j], s_ref, ki_ref, e_ref, qstep, clip, B)
-        out_ref[0, j] = block
+        out_ref[0, j] = (block - 128).astype(jnp.int8) if clip else block
     for r, v in zip(scratch, carry):
         r[...] = v
 
@@ -401,7 +404,7 @@ _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
 
 
 def _skew_masks(nbh: int, nbw: int, n: int) -> jnp.ndarray:
-    """[T', 4, N*nbh] i32 availability masks in the skewed layout: lane i
+    """[T', 4, N*nbh] int8 availability masks in the skewed layout: lane i
     of diagonal t holds block (i, t - 2i); a_u/a_l/a_ul/a_ur follow the
     positional rules of ops/intra.py _avail_masks. Padded diagonals
     (t >= T) are all-False so tail sub-steps are inert."""
@@ -415,7 +418,7 @@ def _skew_masks(nbh: int, nbw: int, n: int) -> jnp.ndarray:
     a_l = valid & (j >= 1)
     a_ul = a_u & (j >= 1)
     a_ur = a_u & (j < nbw - 1)
-    m = np.stack([a_u, a_l, a_ul, a_ur], axis=1).astype(np.int32)
+    m = np.stack([a_u, a_l, a_ul, a_ur], axis=1).astype(np.int8)
     m = np.broadcast_to(m[:, :, None, :], (Tp, 4, n, nbh))
     return jnp.asarray(m.reshape(Tp, 4, n * nbh))
 
@@ -561,7 +564,8 @@ def decode_planes(res_planes: jnp.ndarray, modes: jnp.ndarray,
     out = pl.pallas_call(
         functools.partial(_dec_kernel, qstep=qstep, clip=clip, B=B),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Tp // k, k, 16, B), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((Tp // k, k, 16, B),
+                                       jnp.int8 if clip else jnp.int32),
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(_skew(res_planes).reshape(Tp // k, k, 16, B),
@@ -570,4 +574,5 @@ def decode_planes(res_planes: jnp.ndarray, modes: jnp.ndarray,
           Tp // k, k, 1, B),
       _skew_scalar(escape.astype(jnp.int32), nbh, nbw).reshape(
           Tp // k, k, 1, B), s_m, ki, e_m)
-    return _unskew(out.reshape(Tp, 16, B), n, h, w)
+    dec = _unskew(out.reshape(Tp, 16, B), n, h, w)
+    return dec.astype(jnp.int32) + 128 if clip else dec
