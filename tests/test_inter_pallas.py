@@ -91,6 +91,27 @@ def test_fused_decode_matches_xla(rng, interpret_pallas, h, w, qf):
     assert (diff != 0).mean() < 1e-4
 
 
+def test_fused_static_row_fast_path(rng, interpret_pallas):
+    """Rows whose every MV is (0,0) take the strip-slice fast path; mixed
+    static/moving rows must still match the XLA composition exactly."""
+    IP = interpret_pallas
+    cfg = CodecConfig.production()
+    h, w = 64, 128
+    mv, refs, curs = _mk(rng, 2, 3, h, w, cfg.search_reach)
+    mv = np.asarray(mv).copy()
+    mv[:, :, ::2] = 0                       # every other block row static
+    mv = jnp.asarray(mv)
+    got = np.asarray(IP.encode_p_coeffs_fused(
+        mv, refs, curs, cfg.block_size, cfg.search_reach, 50.0))
+    want = np.asarray(_xla_encode(mv, refs, curs, cfg))
+    np.testing.assert_array_equal(got, want)
+    got_d = np.asarray(IP.decode_p_frames_fused(
+        mv, refs, want, cfg.block_size, cfg.search_reach, 50.0))
+    want_d = np.asarray(_xla_decode(mv, refs, want, cfg))
+    diff = np.abs(got_d.astype(np.int64) - want_d.astype(np.int64))
+    assert diff.max() <= 1 and (diff != 0).mean() < 1e-4
+
+
 def test_fused_roundtrip_on_real_motion(rng, interpret_pallas):
     """Search output -> fused encode -> fused decode reconstructs close to
     the input (sanity: quantization-only loss at QF 50)."""

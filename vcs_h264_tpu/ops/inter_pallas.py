@@ -70,16 +70,19 @@ def _q_strip_np(qf: float, c: int, bs: int, w: int) -> np.ndarray:
     return strip.astype(np.float32)
 
 
-def _recon_strip(oct_refs, dipix, djpix, dmat_ref, fi, *, k_oct, c, bs,
-                 reach, pad, w):
+def _strip_of(oct_refs, c, bs):
+    """[C, rows, Wpp] int8 strip from the octet refs."""
+    return jnp.concatenate(
+        [r[0, 0].reshape(c, bs, r.shape[-1]) for r in oct_refs], axis=1)
+
+
+def _recon_strip(strip, dipix, djpix, dmat_ref, fi, *, c, bs, reach, pad, w):
     """Recentered reconstruction strip [C, bs, W] f32 for frame fi from the
-    octet refs (int8) + per-pixel displacements (the branchless one-hot MXU
+    int8 octet strip + per-pixel displacements (the branchless one-hot MXU
     mix + row select of motion_pallas._comp_kernel). dmat_ref [Wpp, W] i32
     holds s - x, so the per-frame one-hot needs ONE compare instead of two
     iotas + a full-panel add."""
-    strip = jnp.concatenate(
-        [r[0, 0].reshape(c, bs, r.shape[-1]) for r in oct_refs], axis=1)
-    rows = k_oct * bs
+    rows = strip.shape[1]
     wpp = strip.shape[-1]
     sb = strip.astype(jnp.bfloat16).reshape(c * rows, wpp)
     dj = djpix[0, 0, fi]                                       # [W]
@@ -93,6 +96,15 @@ def _recon_strip(oct_refs, dipix, djpix, dmat_ref, fi, *, k_oct, c, bs,
         seg = lax.slice(t, (0, pad + d, 0), (c, pad + d + bs, w))
         acc = jnp.where(di == d, seg, acc)
     return acc
+
+
+def _recon_static(strip, *, c, bs, pad, w):
+    """Zero-displacement reconstruction: the strip rows [pad, pad+bs) at
+    columns [pad, pad+w) — a plain slice. Rows whose every MV is (0, 0)
+    (the static early-out regime, ~98% of blocks on the headline content)
+    take this path instead of the one-hot matmul + 33-way select."""
+    seg = lax.slice(strip, (0, pad, pad), (c, pad + bs, pad + w))
+    return seg.astype(jnp.float32)
 
 
 def _dct_q(strip, kl_ref, kr_ref, q_ref):
@@ -122,44 +134,82 @@ def _idct(coef_f32, kl_ref, kr_ref, q_ref):
                            precision=lax.Precision.HIGHEST)
 
 
-def _enc_kernel(dipix_ref, djpix_ref, dmat_ref, *refs, k_oct, bs, reach,
-                pad, w, c, f):
-    """out[g, fi, :, bi] = round(DCT(RCT(cur - recon)) / Q) as int16."""
+def _enc_epilogue(recon, cur_ref, kl_ref, kr_ref, q_ref, out_ref, fi, c,
+                  bs, w):
+    cur = cur_ref[0, fi, :, 0].astype(jnp.float32)       # [C, bs, W] (-128)
+    resid = cur - recon              # (cur-128) - (recon-128) = cur - recon
+    b, g2, r = resid[0], resid[1], resid[2]
+    y = _KR * r + _KG * g2 + _KB * b
+    cr = (r - y) * _SCR
+    cb = (b - y) * _SCB
+    ycc = jnp.stack([y, cr, cb]).reshape(c * bs, w)
+    out_ref[0, fi, :, 0] = _dct_q(ycc, kl_ref, kr_ref, q_ref).reshape(
+        c, bs, w)
+
+
+def _enc_kernel(static_ref, dipix_ref, djpix_ref, dmat_ref, *refs, k_oct,
+                bs, reach, pad, w, c, f):
+    """out[g, fi, :, bi] = round(DCT(RCT(cur - recon)) / Q) as int16.
+
+    static_ref [G, nbh] (scalar prefetch): rows whose every MV of every
+    frame is (0, 0) reconstruct by a plain strip slice."""
     oct_refs = refs[:k_oct]
     cur_ref, kl_ref, kr_ref, q_ref, out_ref = refs[k_oct:k_oct + 5]
-    for fi in range(f):
-        recon = _recon_strip(oct_refs, dipix_ref, djpix_ref, dmat_ref, fi,
-                             k_oct=k_oct, c=c, bs=bs, reach=reach, pad=pad,
-                             w=w)
-        cur = cur_ref[0, fi, :, 0].astype(jnp.float32)   # [C, bs, W] (-128)
-        resid = cur - recon          # (cur-128) - (recon-128) = cur - recon
-        b, g2, r = resid[0], resid[1], resid[2]
-        y = _KR * r + _KG * g2 + _KB * b
-        cr = (r - y) * _SCR
-        cb = (b - y) * _SCB
-        ycc = jnp.stack([y, cr, cb]).reshape(c * bs, w)
-        out_ref[0, fi, :, 0] = _dct_q(ycc, kl_ref, kr_ref, q_ref).reshape(
-            c, bs, w)
+    g, bi = pl.program_id(0), pl.program_id(1)
+    strip = _strip_of(oct_refs, c, bs)
+
+    @pl.when(static_ref[g, bi] == 1)
+    def _():
+        recon = _recon_static(strip, c=c, bs=bs, pad=pad, w=w)
+        for fi in range(f):
+            _enc_epilogue(recon, cur_ref, kl_ref, kr_ref, q_ref, out_ref,
+                          fi, c, bs, w)
+
+    @pl.when(static_ref[g, bi] == 0)
+    def _():
+        for fi in range(f):
+            recon = _recon_strip(strip, dipix_ref, djpix_ref, dmat_ref, fi,
+                                 c=c, bs=bs, reach=reach, pad=pad, w=w)
+            _enc_epilogue(recon, cur_ref, kl_ref, kr_ref, q_ref, out_ref,
+                          fi, c, bs, w)
 
 
-def _dec_kernel(dipix_ref, djpix_ref, dmat_ref, *refs, k_oct, bs, reach,
-                pad, w, c, f):
-    """out[g, fi, :, bi] = clip(recon + round(RCT^-1(IDCT(coef * Q))))."""
+def _dec_epilogue(recon, coef_ref, kl_ref, kr_ref, q_ref, out_ref, fi, c,
+                  bs, w):
+    coef = coef_ref[0, fi, :, 0].astype(jnp.float32).reshape(c * bs, w)
+    ycc = _idct(coef, kl_ref, kr_ref, q_ref).reshape(c, bs, w)
+    y, cr, cb = ycc[0], ycc[1], ycc[2]
+    r = y + cr / _SCR
+    b = y + cb / _SCB
+    g2 = (y - _KR * r - _KB * b) / _KG
+    resid = jnp.round(jnp.stack([b, g2, r]))
+    out_ref[0, fi, :, 0] = jnp.clip(recon + resid, 0, 255).astype(jnp.int32)
+
+
+def _dec_kernel(static_ref, dipix_ref, djpix_ref, dmat_ref, *refs, k_oct,
+                bs, reach, pad, w, c, f):
+    """out[g, fi, :, bi] = clip(recon + round(RCT^-1(IDCT(coef * Q))));
+    static rows (see _enc_kernel) reconstruct by a plain strip slice."""
     oct_refs = refs[:k_oct]
     coef_ref, kl_ref, kr_ref, q_ref, out_ref = refs[k_oct:k_oct + 5]
-    for fi in range(f):
-        recon = _recon_strip(oct_refs, dipix_ref, djpix_ref, dmat_ref, fi,
-                             k_oct=k_oct, c=c, bs=bs, reach=reach, pad=pad,
-                             w=w) + 128.0
-        coef = coef_ref[0, fi, :, 0].astype(jnp.float32).reshape(c * bs, w)
-        ycc = _idct(coef, kl_ref, kr_ref, q_ref).reshape(c, bs, w)
-        y, cr, cb = ycc[0], ycc[1], ycc[2]
-        r = y + cr / _SCR
-        b = y + cb / _SCB
-        g2 = (y - _KR * r - _KB * b) / _KG
-        resid = jnp.round(jnp.stack([b, g2, r]))
-        out_ref[0, fi, :, 0] = jnp.clip(recon + resid, 0, 255).astype(
-            jnp.int32)
+    g, bi = pl.program_id(0), pl.program_id(1)
+    strip = _strip_of(oct_refs, c, bs)
+
+    @pl.when(static_ref[g, bi] == 1)
+    def _():
+        recon = _recon_static(strip, c=c, bs=bs, pad=pad, w=w) + 128.0
+        for fi in range(f):
+            _dec_epilogue(recon, coef_ref, kl_ref, kr_ref, q_ref, out_ref,
+                          fi, c, bs, w)
+
+    @pl.when(static_ref[g, bi] == 0)
+    def _():
+        for fi in range(f):
+            recon = _recon_strip(strip, dipix_ref, djpix_ref, dmat_ref, fi,
+                                 c=c, bs=bs, reach=reach, pad=pad,
+                                 w=w) + 128.0
+            _dec_epilogue(recon, coef_ref, kl_ref, kr_ref, q_ref, out_ref,
+                          fi, c, bs, w)
 
 
 @functools.lru_cache(maxsize=None)
@@ -195,19 +245,21 @@ def _prep(mv, refs, bs, reach):
 
 
 def _specs(f, c, bs, w, wpp, k_oct):
-    pix_spec = pl.BlockSpec((1, 1, f, w), lambda gi, bi: (gi, bi, 0, 0),
+    # index maps take (gi, bi, rs): rs is the scalar-prefetched static-row
+    # flag array (unused for addressing)
+    pix_spec = pl.BlockSpec((1, 1, f, w), lambda gi, bi, rs: (gi, bi, 0, 0),
                             memory_space=pltpu.VMEM)
     oct_specs = [
         pl.BlockSpec((1, 1, c * bs, wpp),
-                     functools.partial(lambda gi, bi, q: (gi, bi + q, 0, 0),
-                                       q=q),
+                     functools.partial(
+                         lambda gi, bi, rs, q: (gi, bi + q, 0, 0), q=q),
                      memory_space=pltpu.VMEM)
         for q in range(k_oct)]
     plane_spec = pl.BlockSpec((1, f, c, 1, bs, w),
-                              lambda gi, bi: (gi, 0, 0, bi, 0, 0),
+                              lambda gi, bi, rs: (gi, 0, 0, bi, 0, 0),
                               memory_space=pltpu.VMEM)
     const_spec = lambda shape: pl.BlockSpec(
-        shape, lambda gi, bi: (0,) * len(shape), memory_space=pltpu.VMEM)
+        shape, lambda gi, bi, rs: (0,) * len(shape), memory_space=pltpu.VMEM)
     return pix_spec, oct_specs, plane_spec, const_spec
 
 
@@ -231,16 +283,20 @@ def encode_p_coeffs_fused(mv: jnp.ndarray, refs: jnp.ndarray,
     kernel = functools.partial(_enc_kernel, k_oct=k_oct, bs=bs, reach=reach,
                                pad=pad_top, w=w, c=c, f=f)
     dmat = jnp.asarray(_dmat_np(wpp, w))
-    out = pl.pallas_call(
-        kernel,
+    row_static = jnp.all(mv == 0, axis=(1, 3, 4)).astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(g, nbh),
         in_specs=[pix_spec, pix_spec, const_spec((wpp, w))] + oct_specs
         + [plane_spec, const_spec((c * bs, c * bs)), const_spec((w, w)),
            const_spec((c * bs, w))],
-        out_specs=plane_spec,
+        out_specs=plane_spec)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((g, f, c, nbh, bs, w), jnp.int16),
         compiler_params=_COMPILER_PARAMS,
-    )(dipix, djpix, dmat, *([refp] * k_oct), curs8, kl, kr, q)
+    )(row_static, dipix, djpix, dmat, *([refp] * k_oct), curs8, kl, kr, q)
     return out.reshape(g, f, c, h, w)
 
 
@@ -263,16 +319,18 @@ def decode_p_frames_fused(mv: jnp.ndarray, refs: jnp.ndarray,
     kernel = functools.partial(_dec_kernel, k_oct=k_oct, bs=bs, reach=reach,
                                pad=pad_top, w=w, c=c, f=f)
     dmat = jnp.asarray(_dmat_np(wpp, w))
-    out = pl.pallas_call(
-        kernel,
+    row_static = jnp.all(mv == 0, axis=(1, 3, 4)).astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(g, nbh),
         in_specs=[pix_spec, pix_spec, const_spec((wpp, w))] + oct_specs
         + [plane_spec, const_spec((c * bs, c * bs)), const_spec((w, w)),
            const_spec((c * bs, w))],
-        out_specs=pl.BlockSpec((1, f, c, 1, bs, w),
-                               lambda gi, bi: (gi, 0, 0, bi, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=plane_spec)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((g, f, c, nbh, bs, w), jnp.int32),
         compiler_params=_COMPILER_PARAMS,
-    )(dipix, djpix, dmat, *([refp] * k_oct), coefs, kl, kr, q)
+    )(row_static, dipix, djpix, dmat, *([refp] * k_oct), coefs, kl, kr, q)
     return out.reshape(g, f, c, h, w)
