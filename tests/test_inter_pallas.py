@@ -134,3 +134,36 @@ def test_fused_roundtrip_on_real_motion(rng, interpret_pallas):
                  - np.asarray(curs[0, 0]).astype(np.int64))
     # rounded QF-50 quantization: reconstruction within a tight error band
     assert np.mean(err) < 3.0 and np.percentile(err, 99) <= 25
+
+
+def test_fused_luma_plane_matches_xla_420(rng, interpret_pallas):
+    """c == 1 (the 4:2:0 luma path): no RCT, QY table — the pipeline420
+    _code_planes / _decode_planes composition. Near-exact on CPU interpret
+    (integer-valued plane residuals hit round-at-.5 ties more often than
+    the RCT'd full-res path, and the CPU SIMD kron-contraction ulp flips
+    those — same mechanism as test_fused_decode_matches_xla); exact on
+    hardware (tools/check_pallas_tpu.py)."""
+    IP = interpret_pallas
+    from vcs_h264_tpu.models import pipeline420 as p420
+    from vcs_h264_tpu.config import CodecConfig as CC
+    cfg = CC(quant_mode="rounded", chroma_420=True, intra_i=True)
+    bs, reach = cfg.block_size, cfg.search_reach
+    h, w = 64, 128
+    mv, refs3, curs3 = _mk(rng, 2, 3, h, w, reach)
+    y_ref = refs3[:, :1]                              # [G, 1, H, W]
+    y_cur = curs3[:, :, :1]                           # [G, F, 1, H, W]
+    qy, _ = p420._tables(cfg)
+    pred = M.motion_compensate_gops(mv, y_ref, bs=bs, reach=reach,
+                                    backend="xla")[:, :, 0]
+    want = np.asarray(p420._code_planes(y_cur[:, :, 0] - pred, qy, bs))
+    got = np.asarray(IP.encode_p_coeffs_fused(
+        mv, y_ref, y_cur, bs, reach, cfg.quality_factor)[:, :, 0])
+    dq = np.abs(got.astype(np.int64) - want.astype(np.int64))
+    assert dq.max() <= 1 and (dq != 0).mean() < 1e-3
+    want_d = np.asarray(jnp.clip(
+        pred + p420._decode_planes(jnp.asarray(want), qy, bs), 0, 255))
+    got_d = np.asarray(IP.decode_p_frames_fused(
+        mv, y_ref, jnp.asarray(want)[:, :, None], bs, reach,
+        cfg.quality_factor)[:, :, 0])
+    diff = np.abs(got_d.astype(np.int64) - want_d.astype(np.int64))
+    assert diff.max() <= 1 and (diff != 0).mean() < 1e-4

@@ -75,7 +75,37 @@ def main():
         assert np.array_equal(np.asarray(got_dec), np.asarray(want_dec)), \
             f"fused decode mismatch {b}x{f}x{h}x{w}"
         print(f"ok fused inter {b}x{f} {h}x{w}")
-    print("fused inter kernels (enc + dec) bit-exact on TPU")
+    # c == 1 (the 4:2:0 luma path: no RCT, QY table, pipeline420 semantics)
+    from vcs_h264_tpu.models import pipeline420 as p420
+    cfg420 = CodecConfig(quant_mode="rounded", chroma_420=True, intra_i=True)
+    for (b, f, h, w) in [(2, 3, 352, 640)]:
+        bs, reach = cfg420.block_size, cfg420.search_reach
+        nbh, nbw = h // bs, w // bs
+        y_ref = jnp.asarray(rng.integers(0, 256, (b, 1, h, w)), jnp.int32)
+        y_cur = jnp.asarray(rng.integers(0, 256, (b, f, 1, h, w)), jnp.int32)
+        mv = rng.integers(-reach, reach + 1, (b, f, nbh, nbw, 2))
+        ci = np.arange(nbh)[:, None] * bs
+        cj = np.arange(nbw)[None, :] * bs
+        mv[..., 1] = np.clip(mv[..., 1], -ci, h - bs - ci)
+        mv[..., 0] = np.clip(mv[..., 0], -cj, w - bs - cj)
+        mv = jnp.asarray(mv, jnp.int32)
+        qy, _ = p420._tables(cfg420)
+        pred = M.motion_compensate_gops(mv, y_ref, bs=bs, reach=reach,
+                                        backend="xla")[:, :, 0]
+        want = np.asarray(p420._code_planes(y_cur[:, :, 0] - pred, qy, bs))
+        got = np.asarray(IP.encode_p_coeffs_fused(
+            mv, y_ref, y_cur, bs, reach, cfg420.quality_factor)[:, :, 0])
+        assert np.array_equal(got, want.astype(np.int16)), \
+            f"fused luma encode mismatch {b}x{f}x{h}x{w}"
+        want_d = np.asarray(jnp.clip(
+            pred + p420._decode_planes(jnp.asarray(want), qy, bs), 0, 255))
+        got_d = np.asarray(IP.decode_p_frames_fused(
+            mv, y_ref, jnp.asarray(want)[:, :, None], bs, reach,
+            cfg420.quality_factor)[:, :, 0])
+        assert np.array_equal(got_d, want_d), \
+            f"fused luma decode mismatch {b}x{f}x{h}x{w}"
+        print(f"ok fused luma {b}x{f} {h}x{w}")
+    print("fused inter kernels (enc + dec, c=3 and c=1) bit-exact on TPU")
 
     # wavefront intra kernels (MXU formulation, ops/intra_pallas.py)
     from vcs_h264_tpu.ops import intra as I

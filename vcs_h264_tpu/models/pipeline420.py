@@ -143,6 +143,31 @@ def _compensate(mv, refs, bs, reach):
                                          backend=backend)
 
 
+def _use_fused_luma(cfg: CodecConfig, n_p: int) -> bool:
+    """Fused Pallas path for the LUMA inter stage (ops/inter_pallas.py,
+    c == 1): compensation + DCT + quant in one kernel, bitwise-equal to the
+    _code_planes composition. Chroma stays on the XLA path: its 4-px motion
+    grid under the 8-px DCT grid means two MV rows per transform strip,
+    which the strip kernel does not model (and chroma is quarter-area)."""
+    from vcs_h264_tpu.ops.motion import use_pallas_default
+    return (n_p > 0 and cfg.with_residual and cfg.block_size == 8
+            and use_pallas_default())
+
+
+def _fused_code_y(mv, y_ref, y_cur, cfg: CodecConfig):
+    from vcs_h264_tpu.ops.inter_pallas import encode_p_coeffs_fused
+    return encode_p_coeffs_fused(
+        mv, y_ref[:, None], y_cur[:, :, None], cfg.block_size,
+        cfg.search_reach, cfg.quality_factor)[:, :, 0]
+
+
+def _fused_decode_y(mv, y_ref, res_y, cfg: CodecConfig):
+    from vcs_h264_tpu.ops.inter_pallas import decode_p_frames_fused
+    return decode_p_frames_fused(
+        mv, y_ref[:, None], res_y[:, :, None], cfg.block_size,
+        cfg.search_reach, cfg.quality_factor)[:, :, 0]
+
+
 def _search(y_cur, y_ref, cfg: CodecConfig):
     """Luma-only search; the reference's static threshold (motion.py:8) is
     calibrated for 3-channel SAD — scale to the single-plane SAD."""
@@ -192,10 +217,17 @@ def encode_gop_batch_420(i_frames: jnp.ndarray, p_frames: jnp.ndarray,
 
     mv = _search(y_p, y_i, cfg)
     res_y = res_c = None
-    pred_y, pred_c = _predict(mv, y_i, c_i, cfg)
-    if cfg.with_residual:
-        res_y = _code_planes(y_p - pred_y, qy, bs)
+    fused_y = _use_fused_luma(cfg, y_p.shape[1])
+    if fused_y:
+        res_y = _fused_code_y(mv, y_i, y_p, cfg)
+        pred_c = _compensate(_chroma_mv(mv), c_i, bs // 2,
+                             max(1, cfg.search_reach // 2))
         res_c = _code_planes(c_p - pred_c, qc, bs)
+    else:
+        pred_y, pred_c = _predict(mv, y_i, c_i, cfg)
+        if cfg.with_residual:
+            res_y = _code_planes(y_p - pred_y, qy, bs)
+            res_c = _code_planes(c_p - pred_c, qc, bs)
     gop = EncodedGOP420(i_y=y_i, i_c=c_i, mv=mv, res_y=res_y, res_c=res_c,
                         iq_y=iq, im_y=im, ie_y=ie,
                         iq_c=iqc, im_c=imc, ie_c=iec)
@@ -203,10 +235,14 @@ def encode_gop_batch_420(i_frames: jnp.ndarray, p_frames: jnp.ndarray,
         return gop
 
     # closed loop: decoded anchors
-    dec_y, dec_c = pred_y, pred_c
-    if cfg.with_residual:
-        dec_y = jnp.clip(pred_y + _decode_planes(res_y, qy, bs), 0, 255)
+    if fused_y:
+        dec_y = _fused_decode_y(mv, y_i, res_y, cfg)
         dec_c = jnp.clip(pred_c + _decode_planes(res_c, qc, bs), 0, 255)
+    else:
+        dec_y, dec_c = pred_y, pred_c
+        if cfg.with_residual:
+            dec_y = jnp.clip(pred_y + _decode_planes(res_y, qy, bs), 0, 255)
+            dec_c = jnp.clip(pred_c + _decode_planes(res_c, qc, bs), 0, 255)
     anch_y = jnp.concatenate([y_i[:, None], dec_y], axis=1)  # [B, NA, H, W]
     anch_c = jnp.concatenate([c_i[:, None], dec_c], axis=1)
     bb, nb = y_b.shape[:2]
@@ -253,10 +289,19 @@ def decode_gop_batch_420(gop: EncodedGOP420, cfg: CodecConfig,
     qy, qc = _tables(cfg)
     y_i = gop.i_y.astype(jnp.int32)
     c_i = gop.i_c.astype(jnp.int32)
-    rec_y, rec_c = _predict(gop.mv, y_i, c_i, cfg)
-    if cfg.with_residual and gop.res_y is not None:
-        rec_y = jnp.clip(rec_y + _decode_planes(gop.res_y, qy, bs), 0, 255)
+    if (gop.res_y is not None
+            and _use_fused_luma(cfg, gop.mv.shape[1])):
+        rec_y = _fused_decode_y(gop.mv, y_i, gop.res_y, cfg)
+        rec_c = _compensate(_chroma_mv(gop.mv), c_i, bs // 2,
+                            max(1, cfg.search_reach // 2))
         rec_c = jnp.clip(rec_c + _decode_planes(gop.res_c, qc, bs), 0, 255)
+    else:
+        rec_y, rec_c = _predict(gop.mv, y_i, c_i, cfg)
+        if cfg.with_residual and gop.res_y is not None:
+            rec_y = jnp.clip(rec_y + _decode_planes(gop.res_y, qy, bs),
+                             0, 255)
+            rec_c = jnp.clip(rec_c + _decode_planes(gop.res_c, qc, bs),
+                             0, 255)
     y = jnp.concatenate([y_i[:, None], rec_y], axis=1)   # [B, 1+NA-1, H, W]
     c = jnp.concatenate([c_i[:, None], rec_c], axis=1)
     if gop.b_mv is not None:

@@ -138,11 +138,16 @@ def _enc_epilogue(recon, cur_ref, kl_ref, kr_ref, q_ref, out_ref, fi, c,
                   bs, w):
     cur = cur_ref[0, fi, :, 0].astype(jnp.float32)       # [C, bs, W] (-128)
     resid = cur - recon              # (cur-128) - (recon-128) = cur - recon
-    b, g2, r = resid[0], resid[1], resid[2]
-    y = _KR * r + _KG * g2 + _KB * b
-    cr = (r - y) * _SCR
-    cb = (b - y) * _SCB
-    ycc = jnp.stack([y, cr, cb]).reshape(c * bs, w)
+    if c == 3:
+        # full-res BGR: signed-RCT decorrelation (pipeline.py production)
+        b, g2, r = resid[0], resid[1], resid[2]
+        y = _KR * r + _KG * g2 + _KB * b
+        cr = (r - y) * _SCR
+        cb = (b - y) * _SCB
+        ycc = jnp.stack([y, cr, cb]).reshape(c * bs, w)
+    else:
+        # 4:2:0 planes are coded directly (pipeline420._code_planes)
+        ycc = resid.reshape(c * bs, w)
     out_ref[0, fi, :, 0] = _dct_q(ycc, kl_ref, kr_ref, q_ref).reshape(
         c, bs, w)
 
@@ -178,11 +183,14 @@ def _dec_epilogue(recon, coef_ref, kl_ref, kr_ref, q_ref, out_ref, fi, c,
                   bs, w):
     coef = coef_ref[0, fi, :, 0].astype(jnp.float32).reshape(c * bs, w)
     ycc = _idct(coef, kl_ref, kr_ref, q_ref).reshape(c, bs, w)
-    y, cr, cb = ycc[0], ycc[1], ycc[2]
-    r = y + cr / _SCR
-    b = y + cb / _SCB
-    g2 = (y - _KR * r - _KB * b) / _KG
-    resid = jnp.round(jnp.stack([b, g2, r]))
+    if c == 3:
+        y, cr, cb = ycc[0], ycc[1], ycc[2]
+        r = y + cr / _SCR
+        b = y + cb / _SCB
+        g2 = (y - _KR * r - _KB * b) / _KG
+        resid = jnp.round(jnp.stack([b, g2, r]))
+    else:
+        resid = jnp.round(ycc)
     out_ref[0, fi, :, 0] = jnp.clip(recon + resid, 0, 255).astype(jnp.int32)
 
 
@@ -268,8 +276,10 @@ def encode_p_coeffs_fused(mv: jnp.ndarray, refs: jnp.ndarray,
                           qf: float) -> jnp.ndarray:
     """mv [G, F, nbh, nbw, 2]; refs [G, C, H, W] int; curs [G, F, C, H, W]
     uint8-valued int -> quantized residual coefficients int16
-    [G, F, C, H, W] (== pipeline.dct_compress_residual_signed(curs - recon)
-    bitwise)."""
+    [G, F, C, H, W]. C == 3: the full-res production path (signed RCT +
+    Y/C quant tables; == pipeline.dct_compress_residual_signed(curs -
+    recon) bitwise). C == 1: a bare plane (QY table, no color transform;
+    == pipeline420._code_planes of the luma residual)."""
     g, f, nbh, nbw = mv.shape[:4]
     c, h, w = refs.shape[1:]
     dipix, djpix, refp, k_oct, pad_top, wpp = _prep(mv, refs, bs, reach)
