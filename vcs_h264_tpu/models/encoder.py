@@ -359,7 +359,6 @@ class Encoder:
     def _log_gop(self, idx: int, gop) -> None:
         if not self.metrics:
             return
-        from vcs_h264_tpu.ops.motion import num_static_blocks
         mv = np.asarray(gop.mv)
         n_blocks = max(1, mv.shape[0] * mv.shape[1] * mv.shape[2]) \
             if mv.ndim >= 3 else 1

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import json
 import time
-from typing import IO, Optional
+from typing import IO
 
 import numpy as np
 import jax.numpy as jnp
