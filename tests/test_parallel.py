@@ -214,10 +214,14 @@ def test_sharded_420_bframes_matches_unsharded(rng):
     same_dec = p420.decode_gop_batch_420(got, cfg)
     d = np.abs(np.asarray(got_dec, np.int64) - np.asarray(same_dec, np.int64))
     assert d.max() <= 2 and (d > 0).mean() < 0.01
-    # and the cross-stream comparison still holds in quality terms
+    # and the cross-stream comparison still holds in quality terms: the two
+    # streams' decodes may differ where SAD ties flipped, but only by small
+    # per-pixel deltas (RMS < 2 levels) on a small fraction of pixels
     want_dec = np.asarray(p420.decode_gop_batch_420(want, cfg), np.int64)
     d = np.abs(np.asarray(got_dec, np.int64) - want_dec)
     assert (d > 2).mean() < 0.02
+    assert np.sqrt((d.astype(np.float64) ** 2).mean()) < 2.0
+    assert (d > 0).mean() < 0.05
 
 
 def test_gop_data_parallel_sharding(rng):
