@@ -19,13 +19,13 @@ from HBM for each of the ~121 candidate displacements (~9-30 ms/frame at
     (the GOP's P-frames): the per-candidate VPU work is ONE int8 compare per
     byte — the wrap identity (a-b) mod 256 = a - b + 256*[a<b] splits the
     SAD into candidate-independent row sums plus a borrow count;
-  * borrow-count bits, candidate ref bytes, and cur bytes (all recentered
-    int8) share ONE single-pass INT8 MXU matmul per row-candidate
-    [(K+1)*F... rows, W] @ [W, nbw] (394 TOPS on v5e) producing every
-    8-column box sum with exact int32 accumulation; the SAD is assembled
-    from the box sums by cheap [*, nbw]-wide row reductions. The cur rows
-    of the matmul operand are written once per program, not once per
-    candidate;
+  * borrow-count bits and candidate ref bytes (recentered int8) share ONE
+    single-pass INT8 MXU matmul per row-candidate [(K+1)*F*C*bs, W] @
+    [W, nbw] (394 TOPS on v5e) producing every 8-column box sum with exact
+    int32 accumulation; the candidate-independent cur box sums come from
+    one small matmul per program; the SAD is assembled from the box sums
+    by cheap [*, nbw]-wide row reductions over a double-buffered operand
+    scratch (the next candidate's fills overlap this one's matmul);
   * block rows whose every block passes the saturating static check are
     skipped outright (select_mvs overrides them), with their DMAs redirected
     to block 0 so consecutive static rows also skip the fetches.
@@ -84,7 +84,8 @@ def _sad_kernel_gops(imin_ref, skip_ref, cur_ref, *refs, k, step, reach, bs,
     cur_ref [1, 1, F*C*bs, W] int8 (recentered); refs = K phase refs
     [1, 1, 1, C*bs, Wp] int8 (the candidate row octets, aligned by the index
     maps), then sel [W, nbw] int8, out [1, 1, K, K*F, nbw] i32, and the
-    [2, (K*F + K)*C*bs, W] int8 double-buffered matmul-operand scratch.
+    [nbuf, (K*F + K)*C*bs, W] int8 matmul-operand scratch (nbuf = 2 when W
+    is lane-aligned, else a single flat buffer).
 
     skip_ref [B, nbh]: 1 marks a block row whose every block of every frame
     passes the saturating static check — its sweep output is fully
