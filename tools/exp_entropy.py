@@ -12,6 +12,11 @@ Models:
   cbf     per-block coded-block-flag (ctx: prev CBF) + in-block runs/levels
           with band contexts; trailing run implicit (EOB flag per token)
   cbf+lvl cbf + run contexts conditioned on previous |level| > 1
+  cbf+dcd cbf + DC DPCM (delta vs previous block's DC)
+
+Measured (24f slow_traffic, QF50): cbf -37.4% vs v8 (shipped as v10);
+cbf+lvl adds ~0.1%; cbf+dcd is WORSE (-35.7%) - P-frame residual DCs are
+not spatially correlated the way intra-image DCs are.
 
 Run: JAX_PLATFORMS=cpu python tools/exp_entropy.py [--frames 24]
 """
@@ -168,9 +173,19 @@ def main():
     real9 = sum(len(rc_encode_i16_b(s, bl)) for s in streams)
     print(f"real v8 bytes {real8}   real v9 bytes {real9} "
           f"({100*(1-real9/real8):+.2f}%)")
+    def model_cbf_dcd(flat, bl):
+        """cbf + DC DPCM: each block's DC (zigzag pos 0) is replaced by its
+        delta vs the previous block's DC before coding."""
+        x = flat.reshape(-1, bl).astype(np.int32).copy()
+        dc = x[:, 0].copy()
+        x[1:, 0] = dc[1:] - dc[:-1]
+        return model_cbf(np.clip(x, -32768, 32767).astype(np.int16).ravel(),
+                         bl, False)
+
     for name, fn in [("v8", model_v8), ("v9", model_v9),
                      ("cbf", lambda f_, b_: model_cbf(f_, b_, False)),
-                     ("cbf+lvl", lambda f_, b_: model_cbf(f_, b_, True))]:
+                     ("cbf+lvl", lambda f_, b_: model_cbf(f_, b_, True)),
+                     ("cbf+dcd", model_cbf_dcd)]:
         est = sum(fn(s, bl) for s in streams)
         print(f"model {name:8s} {est:12.0f} B  ({100*(1-est/real8):+.2f}% "
               "vs real v8)")
