@@ -289,6 +289,18 @@ def main():
             dt420 = _timed(loop_420, i_c, p_c)
             result["chroma420_fps_640x352"] = round(8 * b * g / dt420, 1)
             print(json.dumps(result), flush=True)
+        if left() > 120:
+            # beyond the north star: 1080p production (3x3-tiled, cropped
+            # to 1920x1080 — a block multiple), 16-frame window
+            arr1080 = np.tile(arr[:16], (1, 3, 3))[:, :, :1080, :1920]
+            b9 = 16 // g
+            i9 = jnp.asarray(arr1080[::g][:b9]).astype(jnp.int32)
+            p9 = jnp.asarray(np.stack(
+                [arr1080[k * g + 1:k * g + g]
+                 for k in range(b9)])).astype(jnp.int32)
+            result["production_fps_1920x1080"] = prod_bench(
+                i9, p9, 4, "production 1080p")
+            print(json.dumps(result), flush=True)
     except Exception as e:                              # extras must never
         result["extras_error"] = repr(e)                # kill the headline
         print(json.dumps(result), flush=True)
