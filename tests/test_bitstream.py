@@ -315,3 +315,33 @@ def test_vcs_implausible_dims_raise(tmp_path, rng):
     open(p, "wb").write(src)
     with pytest.raises(ValueError):
         bs.load_vcs(p)
+
+
+@pytest.mark.parametrize("version", [3, 4, 5, 6, 7, 8, 9])
+def test_legacy_vcs_versions_load(version):
+    """Stored-fixture regression over every legacy container version
+    (ADVICE r4): each fixture was written by the commit that introduced
+    that version (tools/gen_legacy_fixtures.py records the map), together
+    with that era's own decoded frames. The current loader must parse the
+    old layout (v3-v7 field ordering, itype derivation for v<5, B-sections
+    for v>=4/v>=7, pre-CBF entropy coders) and the current decoder must
+    reproduce the era's reconstruction exactly."""
+    import os
+    from vcs_h264_tpu.models import Decoder
+
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    loaded = bs.load_vcs(os.path.join(fixdir, f"legacy_v{version}.vcs"))
+    assert loaded.num_frames == 10
+    got = Decoder().decode(loaded)
+    with np.load(os.path.join(fixdir,
+                              f"legacy_v{version}_frames.npz")) as z:
+        for i, frame in enumerate(got):
+            want = z[f"f{i}"]
+            diff = np.abs(frame.astype(np.int32) - want.astype(np.int32))
+            # exact up to round-at-.5 ties: different XLA CPU compilations
+            # (device count, version) may flip jnp.round at exact halves in
+            # the float residual reconstruction (ADVICE r4 #2); anything
+            # beyond +-1 on a trace fraction of pixels means a mis-parse
+            assert diff.max() <= 1, f"frame {i}: max |diff| {diff.max()}"
+            assert np.mean(diff != 0) < 5e-3, \
+                f"frame {i}: {np.mean(diff != 0):.4f} of pixels differ"

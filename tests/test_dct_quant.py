@@ -57,6 +57,35 @@ def test_dct2_tutorial_worked_example():
                                atol=5e-3)
 
 
+def test_dct2_matches_naive_o_n4_definition(rng):
+    """The separable matrix DCT equals the O(N^4) textbook sum the reference
+    wrote out first (DCTCompression/dct.py:42-56 `dct`), up to the constant
+    normalization gap between the two forms the reference itself carries:
+    the naive loop scales by 4/(h*w) * C(i)C(j) while the orthonormal matrix
+    (dct.py:90-100 `dctMatrix`) scales by 2/sqrt(h*w) * C(i)C(j) — a factor
+    of exactly sqrt(h*w)/2 (= 4 at 8x8). Float64 oracle, random block."""
+    h = w = 8
+    block = rng.standard_normal((h, w)).astype(np.float64) * 128
+
+    def cu(i):
+        return 1 / np.sqrt(2) if i == 0 else 1.0
+
+    naive = np.zeros((h, w))
+    for i in range(h):
+        for j in range(w):
+            s = 0.0
+            for k in range(h):
+                for l in range(w):
+                    s += (block[k, l]
+                          * np.cos((2 * k + 1) * i * np.pi / (2 * h))
+                          * np.cos((2 * l + 1) * j * np.pi / (2 * w)))
+            naive[i, j] = (4 / (h * w)) * cu(i) * cu(j) * s
+
+    got = np.asarray(dct.dct2_blocks(jnp.asarray(block, jnp.float32)))
+    np.testing.assert_allclose(got, naive * (np.sqrt(h * w) / 2),
+                               rtol=0, atol=2e-3)
+
+
 def test_dct_idct_roundtrip(rng):
     x = rng.integers(-128, 128, (50, 8, 8)).astype(np.float32)
     y = np.asarray(dct.idct2_blocks(dct.dct2_blocks(jnp.asarray(x))))

@@ -57,6 +57,14 @@ class CodecConfig:
     # encode/decode stay bit-consistent. Requires intra_i.
     intra_qstep: int = 0
 
+    # Production residual transform: True codes the SIGNED residual through
+    # the linear RCT decorrelation (models/pipeline.py, the only sane choice
+    # under real quantization); False is the legacy container-v3 semantics
+    # (mod-256 wrap residual + uint8 BGR->YCrCb roundtrip, as the v3-era
+    # writer produced). Decode-only compatibility knob: load_vcs sets it for
+    # v3 streams; save_vcs refuses to write it.
+    signed_residual: bool = True
+
     # 4:2:0 codec mode: frames carried as Y + quarter-res Cr/Cb through the
     # whole codec (motion on luma, chroma rides halved vectors); the
     # reference only studied subsampling standalone (ChromaSubsampling/

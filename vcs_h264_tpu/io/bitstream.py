@@ -475,7 +475,12 @@ def _py_rc_decode_i16_b(blob: bytes, n: int, block_len: int) -> np.ndarray:
 def _py_rc_encode_i16_cbf(data: np.ndarray, block_len: int) -> bytes:
     """v10 mirror: per-block CBF (ctx: previous block's CBF) + in-block
     runs/levels with band contexts + per-level end-of-block flag."""
-    assert len(data) % block_len == 0
+    if len(data) % block_len != 0:
+        # explicit raise (not assert) to match the native coder's error
+        # contract under python -O (ADVICE r4)
+        raise ValueError(
+            f"stream length {len(data)} is not a multiple of block_len "
+            f"{block_len}")
     e = _RcEncoder()
     run_bins = [[_RC_PROB_INIT] * _RC_RUN_CAP for _ in range(_RC_BANDS)]
     lev_bins = [[_RC_PROB_INIT] * _RC_LEV_CAP for _ in range(_RC_BANDS)]
@@ -505,7 +510,9 @@ def _py_rc_encode_i16_cbf(data: np.ndarray, block_len: int) -> bytes:
 
 
 def _py_rc_decode_i16_cbf(blob: bytes, n: int, block_len: int) -> np.ndarray:
-    assert n % block_len == 0
+    if n % block_len != 0:
+        raise ValueError(
+            f"stream length {n} is not a multiple of block_len {block_len}")
     d = _RcDecoder(blob)
     run_bins = [[_RC_PROB_INIT] * _RC_RUN_CAP for _ in range(_RC_BANDS)]
     lev_bins = [[_RC_PROB_INIT] * _RC_LEV_CAP for _ in range(_RC_BANDS)]
@@ -1123,6 +1130,12 @@ def save_vcs(video: EncodedVideo, path: str) -> None:
             "quant_mode='reference' stream (float DCT of wrap residuals) "
             "cannot round-trip through it. Save to .npz instead, or encode "
             "with a production config (quant_mode='rounded').")
+    if not cfg.signed_residual:
+        raise ValueError(
+            "signed_residual=False is the legacy container-v3 decode "
+            "semantics (wrap residuals); the current writer only emits "
+            "signed-RCT streams. Re-encode with a default production "
+            "config to write a new container.")
     bs = cfg.block_size
     with open(path, "wb") as fh:
         fh.write(_MAGIC)
@@ -1262,7 +1275,14 @@ def load_vcs(path: str) -> EncodedVideo:
                           with_dct=(mode == 2), with_residual=(mode >= 1),
                           quant_mode="rounded" if mode == 2 else "reference",
                           intra_i=intra_i, intra_qstep=intra_qstep,
-                          chroma_420=chroma_420)
+                          chroma_420=chroma_420,
+                          # v3 streams carry rounded coefficients of the
+                          # WRAPPED (mod-256) residual through the uint8
+                          # BGR->YCrCb roundtrip; the signed-RCT residual
+                          # transform arrived with v4. Decode must dispatch
+                          # the era's composition or every P frame is
+                          # garbage (caught by the legacy fixture tests).
+                          signed_residual=(version >= 4))
         if chroma_420:
             return EncodedVideo(
                 config=cfg, height=h, width=w, fps=fps,

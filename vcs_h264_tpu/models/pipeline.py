@@ -160,7 +160,7 @@ def _apply_residual(recon: jnp.ndarray, resid, cfg: CodecConfig) -> jnp.ndarray:
     (ref: decoder.py:52-60)."""
     if not cfg.with_residual or resid is None:
         return recon
-    if cfg.with_dct and cfg.quant_mode == "rounded":
+    if cfg.with_dct and cfg.quant_mode == "rounded" and cfg.signed_residual:
         return jnp.clip(recon + dct_decompress_residual_signed(resid, cfg),
                         0, 255)
     if cfg.with_dct:
@@ -172,7 +172,7 @@ def _encode_residual(cur: jnp.ndarray, recon: jnp.ndarray, cfg: CodecConfig):
     """Encoder-side residual coding of (cur - prediction)."""
     if not cfg.with_residual:
         return None
-    if cfg.with_dct and cfg.quant_mode == "rounded":
+    if cfg.with_dct and cfg.quant_mode == "rounded" and cfg.signed_residual:
         return dct_compress_residual_signed(cur - recon, cfg)
     resid = motion.residuals_wrap(cur, recon)
     if cfg.with_dct:
@@ -188,7 +188,8 @@ def _use_fused_inter(cfg: CodecConfig, n_p: int) -> bool:
     their own compositions)."""
     from vcs_h264_tpu.ops.motion import use_pallas_default
     return (n_p > 0 and cfg.with_residual and cfg.with_dct
-            and cfg.quant_mode == "rounded" and not cfg.chroma_420
+            and cfg.quant_mode == "rounded" and cfg.signed_residual
+            and not cfg.chroma_420
             and cfg.block_size == 8 and use_pallas_default())
 
 
@@ -358,7 +359,15 @@ def decode_gop_batch(gop: EncodedGOP, cfg: CodecConfig) -> jnp.ndarray:
     """Decode a batch of GOPs -> [B, gop_len, 3, H, W] int32, display order.
 
     Fully batched (compensation runs the Pallas kernel once over all GOPs,
-    never under vmap)."""
+    never under vmap).
+
+    Determinism contract (ADVICE r4): decode is bit-exact on the SAME
+    backend class as the encode (TPU<->TPU via the fused Pallas composition,
+    CPU<->CPU via the XLA composition). Across backend classes the two
+    compositions may differ by +-1 at exact round-at-.5 ties in the float
+    residual reconstruction (~1e-5 of pixels, tests/test_inter_pallas.py);
+    anchors a closed-loop B stream references can therefore drift by the
+    same +-1 when encoding on TPU and decoding on CPU."""
     i_frames = gop.i_frame.astype(jnp.int32)            # [B, C, H, W]
     if (gop.residuals is not None
             and _use_fused_inter(cfg, gop.mv.shape[1])):
