@@ -226,6 +226,245 @@ def _dmat_np(wpp: int, w: int) -> np.ndarray:
     return (np.arange(wpp)[:, None] - np.arange(w)[None, :]).astype(np.int32)
 
 
+# --- wide (frame-batched) reconstruction -----------------------------------
+#
+# The per-frame _recon_strip costs F one-hot compares + F bf16 matmuls +
+# F*(2*reach+1) masked row selects per program — measured ~31 us/program of
+# pure per-program latency at 720p (BASELINE.md roofline, VERDICT r4 Next
+# #1). The wide form batches all F frames into ONE panel:
+#
+#   * the one-hot target is precomputed on the XLA side as a per-lane scalar
+#     row cmpv[xf] = dj(xf) + (xf mod W) + pad, so the kernel's compare is a
+#     single [Wpp, F*W] iota-vs-row compare — no [Wpp, W] dmat VMEM read at
+#     all, and one compare instead of F;
+#   * the mix runs as ONE INT8 MXU matmul [C*rows, Wpp] @ [Wpp, F*W] with
+#     exact i32 accumulation (the one-hot selects exactly one recentered
+#     int8 value per output, so int8 x {0,1} is bitwise the bf16 mix);
+#   * the (2*reach+1)-way row select runs once on the [C, bs, F*W] panel
+#     instead of F times.
+#
+# Requires W % 128 == 0 (per-frame lane slices of the wide panel must be
+# lane-aligned for Mosaic); other widths take the per-frame kernels above.
+
+
+def _recon_wide(strip, diall_ref, cmpv_ref, *, c, bs, reach, pad, f, w):
+    """[C, bs, F*W] i32 recentered reconstruction panel for ALL F frames.
+
+    diall/cmpv refs are [1, 1, 1, F*W] i32: per-destination-pixel row
+    displacement and one-hot column target (see module note above)."""
+    rows = strip.shape[1]
+    wpp = strip.shape[-1]
+    fw = f * w
+    sb = strip.reshape(c * rows, wpp)                          # int8
+    rowi = lax.broadcasted_iota(jnp.int32, (wpp, fw), 0)
+    m = (rowi == cmpv_ref[0, 0, 0][None, :]).astype(jnp.int8)  # [Wpp, FW]
+    t = lax.dot_general(sb, m, dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)      # [C*rows, FW]
+    t = t.reshape(c, rows, fw)
+    di = diall_ref[0, 0, 0][None, None, :]                     # [1, 1, FW]
+    acc = jnp.zeros((c, bs, fw), jnp.int32)
+    for d in range(-reach, reach + 1):
+        seg = lax.slice(t, (0, pad + d, 0), (c, pad + d + bs, fw))
+        acc = jnp.where(di == d, seg, acc)
+    return acc
+
+
+def _stack_recon(wide, rbuf_ref, *, c, bs, f, w):
+    """Relayout the wide recon panel [C, bs, F*W] i32 into frame-stacked
+    [F*C*bs, W] f32 via the VMEM scratch (Mosaic cannot concatenate register
+    values carrying different lane offsets — the scratch roundtrip is the
+    supported path)."""
+    cbs = c * bs
+    for fi in range(f):
+        seg = lax.slice(wide, (0, 0, fi * w), (c, bs, (fi + 1) * w))
+        rbuf_ref[fi * cbs:(fi + 1) * cbs] = seg.reshape(cbs, w)
+    return rbuf_ref[...].astype(jnp.float32)
+
+
+def _tile_static(recon, *, f):
+    """[C, bs, W] f32 static recon -> frame-stacked [F*C*bs, W] (every frame
+    shares the zero-displacement reconstruction; same lane offsets, so the
+    sublane concat is register-legal)."""
+    cbs = recon.shape[0] * recon.shape[1]
+    flat = recon.reshape(cbs, recon.shape[2])
+    return jnp.concatenate([flat] * f, axis=0)
+
+
+def _slab(panel, sbuf_ref, *, w):
+    """Re-tile a [M, W] panel into [T*M, 128] slabs (T = W/128) via the
+    VMEM scratch (register lane-shifts are not expressible; the scratch
+    roundtrip is the supported relayout)."""
+    m = panel.shape[0]
+    for ti in range(w // 128):
+        sbuf_ref[ti * m:(ti + 1) * m] = lax.slice(
+            panel, (0, ti * 128), (m, (ti + 1) * 128))
+    return sbuf_ref[...]
+
+
+def _unslab(slabs, wbuf_ref, *, m, w):
+    """Inverse of _slab: [T*M, 128] -> [M, W] via the f32 scratch."""
+    for ti in range(w // 128):
+        wbuf_ref[:, ti * 128:(ti + 1) * 128] = slabs[ti * m:(ti + 1) * m]
+    return wbuf_ref[...]
+
+
+def _enc_epi_stacked(recon_st, cur_ref, klf_ref, krs_ref, qts_ref, out_ref,
+                     sbuf_ref, *, c, bs, f, w):
+    """Frame-stacked encode epilogue. Two layout tricks vs the per-frame
+    form, both bitwise identical (block-diagonal operators with exact-zero
+    off-blocks give the same dot product per element):
+
+      * the left DCT runs ONCE at M = F*C*bs (vs F matmuls at M = 24 that
+        used 24 of the MXU's 128 sublanes);
+      * the right DCT runs in 128-lane slab layout ([T*M, 128] @ the
+        [128, 128] kron(I_16, D^T)) instead of the dense [W, W] kron —
+        which did W/bs times the needed FLOPs (118M MACs/program at 720p,
+        measured ~15 us of the ~24 us static-path program, round 5).
+
+    qts is the quant divisor strip in slab layout."""
+    cbs = c * bs
+    m = f * cbs
+    cur = cur_ref[0, :, :, 0].astype(jnp.float32).reshape(m, w)
+    resid = cur - recon_st           # (cur-128) - (recon-128) = cur - recon
+    if c == 3:
+        rs4 = resid.reshape(f, c, bs, w)
+        b, g2, r = rs4[:, 0], rs4[:, 1], rs4[:, 2]       # [f, bs, w]
+        y = _KR * r + _KG * g2 + _KB * b
+        cr = (r - y) * _SCR
+        cb = (b - y) * _SCB
+        ycc = jnp.stack([y, cr, cb], axis=1).reshape(m, w)
+    else:
+        ycc = resid
+    d1 = lax.dot_general(klf_ref[...], ycc,
+                         dimension_numbers=(((1,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32,
+                         precision=lax.Precision.HIGHEST)
+    d2s = lax.dot_general(_slab(d1, sbuf_ref, w=w), krs_ref[...],
+                          dimension_numbers=(((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32,
+                          precision=lax.Precision.HIGHEST)  # [T*M, 128]
+    res = jnp.round(d2s / qts_ref[...]).astype(jnp.int16)
+    for ti in range(w // 128):
+        out_ref[0, :, :, 0, :, ti * 128:(ti + 1) * 128] = (
+            res[ti * m:(ti + 1) * m].reshape(f, c, bs, 128))
+
+
+def _dec_epi_stacked(recon_st, coef_ref, klf_ref, krs_ref, qt_ref, out_ref,
+                     sbuf_ref, wbuf_ref, *, c, bs, f, w):
+    """Frame-stacked decode epilogue (see _enc_epi_stacked): recon_st is
+    the RECENTERED stacked reconstruction (+128 applied here). qt is the
+    quant divisor strip in WIDE layout (dequantization precedes the left
+    DCT); the right DCT runs in slab layout with an unslab roundtrip
+    before the elementwise tail."""
+    cbs = c * bs
+    m = f * cbs
+    coef = coef_ref[0, :, :, 0].astype(jnp.float32).reshape(m, w)
+    d = coef * qt_ref[...]
+    u1 = lax.dot_general(klf_ref[...], d,
+                         dimension_numbers=(((1,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32,
+                         precision=lax.Precision.HIGHEST)
+    u2s = lax.dot_general(_slab(u1, sbuf_ref, w=w), krs_ref[...],
+                          dimension_numbers=(((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32,
+                          precision=lax.Precision.HIGHEST)  # [T*M, 128]
+    u2 = _unslab(u2s, wbuf_ref, m=m, w=w)
+    ycc4 = u2.reshape(f, c, bs, w)
+    if c == 3:
+        y, cr, cb = ycc4[:, 0], ycc4[:, 1], ycc4[:, 2]
+        r = y + cr / _SCR
+        b = y + cb / _SCB
+        g2 = (y - _KR * r - _KB * b) / _KG
+        resid = jnp.round(jnp.stack([b, g2, r], axis=1)).reshape(m, w)
+    else:
+        resid = jnp.round(u2)
+    out = jnp.clip(recon_st + 128.0 + resid, 0, 255).astype(jnp.int32)
+    out_ref[0, :, :, 0] = out.reshape(f, c, bs, w)
+
+
+def _enc_kernel_wide(static_ref, diall_ref, cmpv_ref, *refs, k_oct, bs,
+                     reach, pad, w, c, f):
+    """Wide variant of _enc_kernel: one one-hot matmul + row select for all
+    F frames, then the frame-stacked RCT+DCT+quant epilogue."""
+    oct_refs = refs[:k_oct]
+    cur_ref, klf_ref, krs_ref, qts_ref, out_ref = refs[k_oct:k_oct + 5]
+    rbuf_ref, sbuf_ref = refs[k_oct + 5:k_oct + 7]
+    g, bi = pl.program_id(0), pl.program_id(1)
+    strip = _strip_of(oct_refs, c, bs)
+
+    @pl.when(static_ref[g, bi] == 1)
+    def _():
+        recon = _recon_static(strip, c=c, bs=bs, pad=pad, w=w)
+        _enc_epi_stacked(_tile_static(recon, f=f), cur_ref, klf_ref,
+                         krs_ref, qts_ref, out_ref, sbuf_ref,
+                         c=c, bs=bs, f=f, w=w)
+
+    @pl.when(static_ref[g, bi] == 0)
+    def _():
+        wide = _recon_wide(strip, diall_ref, cmpv_ref, c=c, bs=bs,
+                           reach=reach, pad=pad, f=f, w=w)
+        recon_st = _stack_recon(wide, rbuf_ref, c=c, bs=bs, f=f, w=w)
+        _enc_epi_stacked(recon_st, cur_ref, klf_ref, krs_ref, qts_ref,
+                         out_ref, sbuf_ref, c=c, bs=bs, f=f, w=w)
+
+
+def _dec_kernel_wide(static_ref, diall_ref, cmpv_ref, *refs, k_oct, bs,
+                     reach, pad, w, c, f):
+    oct_refs = refs[:k_oct]
+    coef_ref, klf_ref, krs_ref, qt_ref, out_ref = refs[k_oct:k_oct + 5]
+    rbuf_ref, sbuf_ref, wbuf_ref = refs[k_oct + 5:k_oct + 8]
+    g, bi = pl.program_id(0), pl.program_id(1)
+    strip = _strip_of(oct_refs, c, bs)
+
+    @pl.when(static_ref[g, bi] == 1)
+    def _():
+        recon = _recon_static(strip, c=c, bs=bs, pad=pad, w=w)
+        _dec_epi_stacked(_tile_static(recon, f=f), coef_ref, klf_ref,
+                         krs_ref, qt_ref, out_ref, sbuf_ref, wbuf_ref,
+                         c=c, bs=bs, f=f, w=w)
+
+    @pl.when(static_ref[g, bi] == 0)
+    def _():
+        wide = _recon_wide(strip, diall_ref, cmpv_ref, c=c, bs=bs,
+                           reach=reach, pad=pad, f=f, w=w)
+        recon_st = _stack_recon(wide, rbuf_ref, c=c, bs=bs, f=f, w=w)
+        _dec_epi_stacked(recon_st, coef_ref, klf_ref, krs_ref, qt_ref,
+                         out_ref, sbuf_ref, wbuf_ref, c=c, bs=bs, f=f, w=w)
+
+
+def _prep_wide(mv, refs, bs, reach):
+    """Wide-kernel operand prep: flattened per-pixel displacement rows
+    diall [G, nbh, 1, F*W] and one-hot targets cmpv [G, nbh, 1, F*W]
+    (= dj + (x mod W) + pad), plus the int8 octet-grouped padded refs."""
+    g, f, nbh, nbw = mv.shape[:4]
+    c, h, w = refs.shape[1:]
+    dipix, djpix, refp, k_oct, pad_top, wpp = _prep(mv, refs, bs, reach)
+    diall = dipix.reshape(g, nbh, 1, f * w)
+    colmod = jnp.tile(jnp.arange(w, dtype=jnp.int32), f)
+    cmpv = djpix.reshape(g, nbh, 1, f * w) + colmod[None, None, None, :] \
+        + pad_top
+    return diall, cmpv, refp, k_oct, pad_top, wpp
+
+
+def _specs_wide(f, c, bs, w, wpp, k_oct):
+    fw = f * w
+    lane_spec = pl.BlockSpec((1, 1, 1, fw),
+                             lambda gi, bi, rs: (gi, bi, 0, 0),
+                             memory_space=pltpu.VMEM)
+    oct_specs = [
+        pl.BlockSpec((1, 1, c * bs, wpp),
+                     functools.partial(
+                         lambda gi, bi, rs, q: (gi, bi + q, 0, 0), q=q),
+                     memory_space=pltpu.VMEM)
+        for q in range(k_oct)]
+    plane_spec = pl.BlockSpec((1, f, c, 1, bs, w),
+                              lambda gi, bi, rs: (gi, 0, 0, bi, 0, 0),
+                              memory_space=pltpu.VMEM)
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda gi, bi, rs: (0,) * len(shape), memory_space=pltpu.VMEM)
+    return lane_spec, oct_specs, plane_spec, const_spec
+
+
 def _prep(mv, refs, bs, reach):
     """Shared operand prep: displacement pixel maps + int8 octet-grouped
     padded reference (recentered by -128)."""
@@ -271,6 +510,79 @@ def _specs(f, c, bs, w, wpp, k_oct):
     return pix_spec, oct_specs, plane_spec, const_spec
 
 
+def _fused_call(mv, refs, planes, bs, reach, qf, *, decode, wide=None):
+    """Shared driver for the fused encode/decode kernels: picks the wide
+    (frame-batched) kernel when W is lane-aligned, else the per-frame one;
+    both are bitwise-identical compositions. `wide` forces the choice
+    (A/B benchmarking only)."""
+    g, f, nbh, nbw = mv.shape[:4]
+    c, h, w = refs.shape[1:]
+    if wide is None:
+        wide = w % 128 == 0
+    n_kl = f * c if wide else c                  # frame-stacked vs per-frame
+    n_kr = 128 // bs if wide else w // bs        # slab vs dense right DCT
+    if decode:
+        planes = planes.astype(jnp.int16).reshape(g, f, c, nbh, bs, w)
+        kl = jnp.asarray(_kron_np(bs, n_kl, True))           # kron(I, D^T)
+        kr = jnp.asarray(_kron_np(bs, n_kr, False))          # kron(I, D)
+        out_dtype = jnp.int32
+    else:
+        planes = (planes - 128).astype(jnp.int8).reshape(g, f, c, nbh, bs, w)
+        kl = jnp.asarray(_kron_np(bs, n_kl, False))
+        kr = jnp.asarray(_kron_np(bs, n_kr, True))
+        out_dtype = jnp.int16
+    q = _q_strip_np(qf, c, bs, w)                            # [C*bs, W]
+    if wide:
+        q = np.tile(q, (f, 1))                               # [F*C*bs, W]
+        if not decode:
+            # slab layout for the encode quantizer (matches _dct_right_slab)
+            m = f * c * bs
+            q = q.reshape(m, w // 128, 128).transpose(1, 0, 2).reshape(
+                (w // 128) * m, 128)
+    q = jnp.asarray(q)
+    row_static = jnp.all(mv == 0, axis=(1, 3, 4)).astype(jnp.int32)
+
+    scratch = []
+    if wide:
+        m = f * c * bs
+        diall, cmpv, refp, k_oct, pad_top, wpp = _prep_wide(
+            mv, refs, bs, reach)
+        lane_spec, oct_specs, plane_spec, const_spec = _specs_wide(
+            f, c, bs, w, wpp, k_oct)
+        body = _dec_kernel_wide if decode else _enc_kernel_wide
+        lead_specs = [lane_spec, lane_spec]
+        lead_ops = (diall, cmpv)
+        scratch = [pltpu.VMEM((m, w), jnp.int32),            # recon stack
+                   pltpu.VMEM(((w // 128) * m, 128), jnp.float32)]  # slabs
+        if decode:
+            scratch.append(pltpu.VMEM((m, w), jnp.float32))  # unslab
+    else:
+        dipix, djpix, refp, k_oct, pad_top, wpp = _prep(mv, refs, bs, reach)
+        pix_spec, oct_specs, plane_spec, const_spec = _specs(
+            f, c, bs, w, wpp, k_oct)
+        body = _dec_kernel if decode else _enc_kernel
+        lead_specs = [pix_spec, pix_spec, const_spec((wpp, w))]
+        lead_ops = (dipix, djpix, jnp.asarray(_dmat_np(wpp, w)))
+
+    kernel = functools.partial(body, k_oct=k_oct, bs=bs, reach=reach,
+                               pad=pad_top, w=w, c=c, f=f)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g, nbh),
+        in_specs=lead_specs + oct_specs
+        + [plane_spec, const_spec(kl.shape), const_spec(kr.shape),
+           const_spec(q.shape)],
+        out_specs=plane_spec,
+        scratch_shapes=scratch)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((g, f, c, nbh, bs, w), out_dtype),
+        compiler_params=_COMPILER_PARAMS,
+    )(row_static, *lead_ops, *([refp] * k_oct), planes, kl, kr, q)
+    return out.reshape(g, f, c, h, w)
+
+
 def encode_p_coeffs_fused(mv: jnp.ndarray, refs: jnp.ndarray,
                           curs: jnp.ndarray, bs: int, reach: int,
                           qf: float) -> jnp.ndarray:
@@ -280,34 +592,7 @@ def encode_p_coeffs_fused(mv: jnp.ndarray, refs: jnp.ndarray,
     Y/C quant tables; == pipeline.dct_compress_residual_signed(curs -
     recon) bitwise). C == 1: a bare plane (QY table, no color transform;
     == pipeline420._code_planes of the luma residual)."""
-    g, f, nbh, nbw = mv.shape[:4]
-    c, h, w = refs.shape[1:]
-    dipix, djpix, refp, k_oct, pad_top, wpp = _prep(mv, refs, bs, reach)
-    curs8 = (curs - 128).astype(jnp.int8).reshape(g, f, c, nbh, bs, w)
-    kl = jnp.asarray(_kron_np(bs, c, False))                 # [C*bs, C*bs]
-    kr = jnp.asarray(_kron_np(bs, w // bs, True))            # [W, W]
-    q = jnp.asarray(_q_strip_np(qf, c, bs, w))               # [C*bs, W]
-
-    pix_spec, oct_specs, plane_spec, const_spec = _specs(
-        f, c, bs, w, wpp, k_oct)
-    kernel = functools.partial(_enc_kernel, k_oct=k_oct, bs=bs, reach=reach,
-                               pad=pad_top, w=w, c=c, f=f)
-    dmat = jnp.asarray(_dmat_np(wpp, w))
-    row_static = jnp.all(mv == 0, axis=(1, 3, 4)).astype(jnp.int32)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(g, nbh),
-        in_specs=[pix_spec, pix_spec, const_spec((wpp, w))] + oct_specs
-        + [plane_spec, const_spec((c * bs, c * bs)), const_spec((w, w)),
-           const_spec((c * bs, w))],
-        out_specs=plane_spec)
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((g, f, c, nbh, bs, w), jnp.int16),
-        compiler_params=_COMPILER_PARAMS,
-    )(row_static, dipix, djpix, dmat, *([refp] * k_oct), curs8, kl, kr, q)
-    return out.reshape(g, f, c, h, w)
+    return _fused_call(mv, refs, curs, bs, reach, qf, decode=False)
 
 
 def decode_p_frames_fused(mv: jnp.ndarray, refs: jnp.ndarray,
@@ -316,31 +601,4 @@ def decode_p_frames_fused(mv: jnp.ndarray, refs: jnp.ndarray,
     """Inverse of encode_p_coeffs_fused composed with compensation:
     [G, F, C, H, W] int32 decoded frames (== clip(recon +
     dct_decompress_residual_signed(coeffs)) bitwise)."""
-    g, f, nbh, nbw = mv.shape[:4]
-    c, h, w = refs.shape[1:]
-    dipix, djpix, refp, k_oct, pad_top, wpp = _prep(mv, refs, bs, reach)
-    coefs = coeffs.astype(jnp.int16).reshape(g, f, c, nbh, bs, w)
-    kl = jnp.asarray(_kron_np(bs, c, True))                  # kron(I, D^T)
-    kr = jnp.asarray(_kron_np(bs, w // bs, False))           # kron(I, D)
-    q = jnp.asarray(_q_strip_np(qf, c, bs, w))
-
-    pix_spec, oct_specs, plane_spec, const_spec = _specs(
-        f, c, bs, w, wpp, k_oct)
-    kernel = functools.partial(_dec_kernel, k_oct=k_oct, bs=bs, reach=reach,
-                               pad=pad_top, w=w, c=c, f=f)
-    dmat = jnp.asarray(_dmat_np(wpp, w))
-    row_static = jnp.all(mv == 0, axis=(1, 3, 4)).astype(jnp.int32)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(g, nbh),
-        in_specs=[pix_spec, pix_spec, const_spec((wpp, w))] + oct_specs
-        + [plane_spec, const_spec((c * bs, c * bs)), const_spec((w, w)),
-           const_spec((c * bs, w))],
-        out_specs=plane_spec)
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((g, f, c, nbh, bs, w), jnp.int32),
-        compiler_params=_COMPILER_PARAMS,
-    )(row_static, dipix, djpix, dmat, *([refp] * k_oct), coefs, kl, kr, q)
-    return out.reshape(g, f, c, h, w)
+    return _fused_call(mv, refs, coeffs, bs, reach, qf, decode=True)
