@@ -114,20 +114,34 @@ def _family_abs_cols(cur, refp, plan):
     c = cur.shape[0]
     pad = reach + bs
     cj_pos = np.minimum(plan.pos_j[:ne_j], w - bs)
-    col_idx = pad + cj_pos[:, :, None] + np.arange(bs)[None, None, :]
-    col_abs = refp[:, :, jnp.asarray(col_idx)]     # [C, Hp, ne_j, K, bs]
-    col_abs = col_abs.transpose(2, 3, 0, 1, 4)     # [ne_j, K, C, Hp, bs]
-    cur_left = cur[:, :, : ne_j * bs].reshape(c, h, ne_j, bs)
-    cur_left = cur_left.transpose(2, 0, 1, 3)      # [ne_j, C, H, bs]
+    hp = refp.shape[1]
+    # The (ne_j, K) candidate columns are host-side constants, stacked side
+    # by side along the LANE axis: every op below runs on ne_j*K*bs lanes
+    # instead of bs (= 8) — the earlier per-strip layout wasted 15/16 of
+    # every vector register and this family cost ~14 ms/32f at 720p
+    # (round 5). Box sums ride the MXU per strip.
+    L = ne_j * k * bs
+    col_abs = jnp.concatenate([
+        jax.lax.slice(refp, (0, 0, pad + int(cj_pos[e, ki])),
+                      (c, hp, pad + int(cj_pos[e, ki]) + bs))
+        for e in range(ne_j) for ki in range(k)], axis=-1)  # [C, Hp, L]
+    cur_cols = jnp.concatenate(
+        [jax.lax.slice(cur, (0, 0, e * bs), (c, h, (e + 1) * bs))
+         for e in range(ne_j) for _ in range(k)], axis=-1)  # [C, H, L]
+    sel = jnp.asarray(_boxsum_np(L, bs), jnp.bfloat16)      # [L, ne_j*K]
     rel_abs = []
     for ki in range(k):
         di = step * ki - reach
-        sl = jax.lax.slice(col_abs, (0, 0, 0, pad + di, 0),
-                           (ne_j, k, c, pad + di + h, bs))
-        d = _wrap_abs_diff(sl, cur_left[:, None])  # [ne_j, K, C, H, bs]
-        rel_abs.append(_tile_sums(d, bs)[..., 0])
-    s_abs_j = jnp.stack(rel_abs, axis=2)           # [ne_j, K(kj), K(ki), nbh]
-    return s_abs_j.transpose(3, 0, 2, 1)           # [nbh, ne_j, K(ki), K(kj)]
+        sl = jax.lax.slice(col_abs, (0, pad + di, 0),
+                           (c, pad + di + h, L))
+        d = _wrap_abs_diff(sl, cur_cols).astype(jnp.bfloat16)
+        box = jnp.einsum("chl,lm->chm", d, sel,
+                         preferred_element_type=jnp.float32)
+        box = box.reshape(c, h // bs, bs, ne_j * k).sum(
+            axis=(0, 2), dtype=jnp.float32)                 # [nbh, ne_j*K]
+        rel_abs.append(box.astype(jnp.int32))
+    s = jnp.stack(rel_abs, axis=1)                 # [nbh, K(ki), ne_j, K(kj)]
+    return s.reshape(plan.nbh, k, ne_j, k).transpose(0, 2, 1, 3)
 
 
 def _family_corner(cur, ref, plan):
@@ -141,15 +155,19 @@ def _family_corner(cur, ref, plan):
         return jnp.zeros((ne_i, ne_j, k, k), jnp.int32)
     ri = np.minimum(plan.pos_i[:ne_i], h - bs)     # [ne_i, K]
     cjp = np.minimum(plan.pos_j[:ne_j], w - bs)    # [ne_j, K]
-    ii = np.broadcast_to(
-        ri[:, None, :, None, None, None]
-        + np.arange(bs)[None, None, None, None, :, None],
-        (ne_i, ne_j, k, k, bs, bs))
-    jj = np.broadcast_to(
-        cjp[None, :, None, :, None, None]
-        + np.arange(bs)[None, None, None, None, None, :],
-        (ne_i, ne_j, k, k, bs, bs))
-    patches = ref[:, jnp.asarray(ii), jnp.asarray(jj)]
+    # two-stage static slicing instead of a [C, ne_i, ne_j, K, K, bs, bs]
+    # gather (round 5): ne_i*K row strips, then ne_j*K column slices of the
+    # stacked strips — 2*ne*K slice ops total, all host-constant indices
+    rowstrips = jnp.stack([
+        jax.lax.slice(ref, (0, int(ri[ei, ki]), 0),
+                      (c, int(ri[ei, ki]) + bs, w))
+        for ei in range(ne_i) for ki in range(k)])  # [ne_i*K, C, bs, W]
+    colcuts = jnp.stack([
+        jax.lax.slice(rowstrips, (0, 0, 0, int(cjp[ej, kj])),
+                      (ne_i * k, c, bs, int(cjp[ej, kj]) + bs))
+        for ej in range(ne_j) for kj in range(k)])  # [ne_j*K, ne_i*K, C, bs, bs]
+    patches = colcuts.reshape(ne_j, k, ne_i, k, c, bs, bs).transpose(
+        4, 2, 0, 3, 1, 5, 6)
     # [C, ne_i, ne_j, K, K, bs, bs]
     cur_c = cur[:, : ne_i * bs, : ne_j * bs].reshape(
         c, ne_i, bs, ne_j, bs).transpose(0, 1, 3, 2, 4)
@@ -235,11 +253,32 @@ def sad_candidates(cur: jnp.ndarray, ref: jnp.ndarray,
     return jnp.concatenate([top, bottom], axis=0) if ne_i else bottom
 
 
+@functools.lru_cache(maxsize=None)
+def _boxsum_np(n: int, bs: int) -> np.ndarray:
+    """[n, n/bs] 0/1 block-column summing matrix (MXU operand)."""
+    return np.kron(np.eye(n // bs, dtype=np.float32),
+                   np.ones((bs, 1), np.float32))
+
+
 def static_sad(cur: jnp.ndarray, ref: jnp.ndarray, bs: int) -> jnp.ndarray:
     """Saturating co-located SAD (ref: motion.py:109-111 uses cv2.subtract,
-    which clamps at 0): [nbh, nbw] int32. Planar [C, H, W] inputs."""
-    diff = jnp.maximum(ref - cur, 0)
-    return _tile_sums(diff, bs)
+    which clamps at 0): [nbh, nbw] int32. Planar [C, H, W] inputs.
+
+    Box sums ride the MXU: the lane (W) axis contracts against a 0/1
+    summing matrix in bf16 (saturating diffs <= 255 are exact; f32
+    accumulation of 8 of them is exact), the sublane (H) axis by a
+    grouped reshape-sum. The previous _tile_sums formulation lowered to
+    lane-strided reductions that cost ~25 ms/32f at 720p — vs ~2 ms for
+    this form (round-5 measurement)."""
+    w = cur.shape[-1]
+    diff = jnp.maximum(ref - cur, 0).astype(jnp.bfloat16)
+    sw = jnp.asarray(_boxsum_np(w, bs), jnp.bfloat16)
+    s1 = jnp.einsum("...chw,wn->...chn", diff, sw,
+                    preferred_element_type=jnp.float32)      # [..., C, H, nbw]
+    *lead, c, h, nbw = s1.shape
+    s2 = s1.reshape(*lead, c, h // bs, bs, nbw).sum(
+        axis=(-4, -2), dtype=jnp.float32)                    # [..., nbh, nbw]
+    return s2.astype(jnp.int32)
 
 
 def select_mvs(sad: jnp.ndarray, cur: jnp.ndarray, ref: jnp.ndarray,
@@ -250,18 +289,46 @@ def select_mvs(sad: jnp.ndarray, cur: jnp.ndarray, ref: jnp.ndarray,
     best at (0,0) (motion.py:102,122), first-minimum-wins (strict <), and the
     saturating static-block early out (motion.py:109-116)."""
     bs = plan.bs
-    nbh, nbw, k = plan.nbh, plan.nbw, plan.k
+    k = plan.k
     valid = (jnp.asarray(plan.valid_i)[:, None, :, None]
              & jnp.asarray(plan.valid_j)[None, :, None, :])
-    masked = jnp.where(valid, sad, _MASKED)
 
-    flat = masked.reshape(nbh, nbw, k * k)
-    with_init = jnp.concatenate(
-        [jnp.full((nbh, nbw, 1), _INIT_SENTINEL, jnp.int32), flat], axis=-1)
-    best = jnp.argmin(with_init, axis=-1)                       # first-wins
-    hit = best > 0
-    ki = (best - 1) // k
-    kj = (best - 1) % k
+    # Packed key-minimum: key = (sad << sh) | (flat candidate index + 1).
+    # A plain min-reduction then carries both the winning SAD and its FIRST
+    # index (ties pick the smaller index = the reference's strict-< update
+    # order) — ~5x cheaper than the materialized [.., K*K+1] argmin this
+    # replaced (round 5). The virtual initial best (motion.py:102,122) is
+    # the `sent` key: any valid candidate beats it, masked candidates
+    # (sent | idx > it) never do. Garbage SADs from skip-overridden rows
+    # may overflow the shift; those lanes are fully overwritten by the
+    # static early-out in _mvs_from_best.
+    sh, sent = _key_packing(plan, cur.shape[0])
+    idx = jnp.arange(1, k * k + 1, dtype=jnp.int32).reshape(k, k)
+    key = jnp.where(valid, (sad << sh) + idx, sent + ((1 << sh) - 1))
+    best = jnp.min(key, axis=(-2, -1))
+    return _mvs_from_best(best, cur, ref, plan, static_threshold, sh, sent)
+
+
+def _key_packing(plan: MotionSearchPlan, c: int):
+    """(shift, sentinel) for the packed key-minimum selection."""
+    k, bs = plan.k, plan.bs
+    sh = (k * k + 1).bit_length()
+    sad_max = c * 255 * bs * bs
+    assert (sad_max + 1) << sh < 2**31, "key packing overflow"
+    return sh, jnp.int32((sad_max + 1) << sh)
+
+
+def _mvs_from_best(best: jnp.ndarray, cur: jnp.ndarray, ref: jnp.ndarray,
+                   plan: MotionSearchPlan, static_threshold: int,
+                   sh: int, sent) -> jnp.ndarray:
+    """Packed best keys [nbh, nbw] -> motion vectors [nbh, nbw, 2], with
+    the (0, 0) no-hit fallback and the saturating static early-out."""
+    bs, k, nbh, nbw = plan.bs, plan.k, plan.nbh, plan.nbw
+    best = jnp.minimum(best, sent)
+    hit = best < sent
+    flat_idx = (best & ((1 << sh) - 1)) - 1
+    ki = flat_idx // k
+    kj = flat_idx % k
 
     pos_i = jnp.asarray(plan.pos_i)                             # [nbh, K]
     pos_j = jnp.asarray(plan.pos_j)                             # [nbw, K]
@@ -342,13 +409,41 @@ def motion_search_gops(curs: jnp.ndarray, refs: jnp.ndarray, *, bs: int = 8,
                         in_axes=(0, 0, None))(curs, refs, bs)  # [B,F,nbh,nbw]
         row_skip = jnp.all(stat <= static_threshold,
                            axis=(1, 3)).astype(jnp.int32)      # [B, nbh]
-        sad = sad_candidates_pallas_gops(curs, refs, plan, row_skip)
-        left = jax.vmap(jax.vmap(sad_left_edge, in_axes=(0, None, None)),
-                        in_axes=(0, 0, None))(curs, refs, plan)
-        sad = jnp.concatenate([left, sad[:, :, :, plan.n_edge_j:]], axis=3)
-    else:
-        sad = jax.vmap(jax.vmap(sad_candidates, in_axes=(0, None, None)),
-                       in_axes=(0, 0, None))(curs, refs, plan)
+        # Packed key-min DIRECTLY in the kernel layout [B, nbh, ki, kj, F,
+        # nbw]: the candidate axes reduce on sublanes while nbw stays on
+        # lanes, and the [B, F, nbh, nbw, K, K] transpose (2x the full
+        # candidate tensor through HBM, K*K on the minor axes) disappears
+        # — the std-layout select cost ~13 ms/32f at 720p (round 5).
+        k = plan.k
+        sad_k = sad_candidates_pallas_gops(curs, refs, plan, row_skip,
+                                           layout="kernel")
+        sh, sent = _key_packing(plan, curs.shape[2])
+        vi = jnp.asarray(plan.valid_i)                         # [nbh, K]
+        vj = jnp.asarray(plan.valid_j)                         # [nbw, K]
+        valid_k = (vi[None, :, :, None, None, None]
+                   & vj.T[None, None, None, :, None, :])
+        idx = (jnp.arange(k, dtype=jnp.int32)[:, None] * k
+               + jnp.arange(k, dtype=jnp.int32)[None, :] + 1)
+        key = jnp.where(valid_k,
+                        (sad_k << sh) + idx[None, :, :, None, None][:, None],
+                        sent + ((1 << sh) - 1))
+        best = jnp.min(key, axis=(2, 3))                       # [B,nbh,F,nbw]
+        best = best.transpose(0, 2, 1, 3)                      # [B,F,nbh,nbw]
+        # left-edge block columns come from the exact XLA families (their
+        # own key-min in the small [.., ne_j, K, K] layout)
+        ne_j = plan.n_edge_j
+        if ne_j:
+            left = jax.vmap(jax.vmap(sad_left_edge, in_axes=(0, None, None)),
+                            in_axes=(0, 0, None))(curs, refs, plan)
+            lvalid = vi[:, None, :, None] & vj[None, :ne_j, None, :]
+            lkey = jnp.where(lvalid, (left << sh) + idx, sent + ((1 << sh) - 1))
+            lbest = jnp.min(lkey, axis=(-2, -1))               # [B,F,nbh,ne_j]
+            best = jnp.concatenate([lbest, best[..., ne_j:]], axis=-1)
+        tail = lambda b_, cc, rr: _mvs_from_best(
+            b_, cc, rr, plan, static_threshold, sh, sent)
+        return jax.vmap(jax.vmap(tail, in_axes=(0, 0, None)))(best, curs, refs)
+    sad = jax.vmap(jax.vmap(sad_candidates, in_axes=(0, None, None)),
+                   in_axes=(0, 0, None))(curs, refs, plan)
     select = lambda s, cc, rr: select_mvs(s, cc, rr, plan, static_threshold)
     return jax.vmap(jax.vmap(select, in_axes=(0, 0, None)))(sad, curs, refs)
 

@@ -148,8 +148,8 @@ def _sad_kernel_gops(imin_ref, skip_ref, cur_ref, *refs, k, step, reach, bs,
 
 def sad_candidates_pallas_gops(curs: jnp.ndarray, refs: jnp.ndarray,
                                plan: MotionSearchPlan,
-                               row_skip: jnp.ndarray | None = None
-                               ) -> jnp.ndarray:
+                               row_skip: jnp.ndarray | None = None,
+                               layout: str = "std") -> jnp.ndarray:
     """GOP-batched SAD sweep: curs [B, F, C, H, W] vs refs [B, C, H, W]
     -> [B, F, nbh, nbw, K, K] int32 — rows exact everywhere, columns exact
     for block columns >= n_edge_j. The GOP axis is a grid dimension
@@ -158,7 +158,13 @@ def sad_candidates_pallas_gops(curs: jnp.ndarray, refs: jnp.ndarray,
 
     row_skip [B, nbh] i32 (optional): rows marked 1 skip the sweep; their
     output is garbage that the caller's static early-out overrides (see
-    _sad_kernel_gops)."""
+    _sad_kernel_gops).
+
+    layout="kernel" returns the kernel-native [B, nbh, K(ki), K(kj), F,
+    nbw] without the [B, F, nbh, nbw, K, K] transpose — the candidate axes
+    land on sublanes and nbw stays on lanes, which is what the packed
+    key-min selection wants (the std-layout transpose materializes the
+    full candidate tensor twice and puts K*K on the minor axes)."""
     bs, reach, step, k = plan.bs, plan.reach, plan.step, plan.k
     h, w, nbh, nbw = plan.h, plan.w, plan.nbh, plan.nbw
     b, f, c = curs.shape[0], curs.shape[1], curs.shape[2]
@@ -238,6 +244,8 @@ def sad_candidates_pallas_gops(curs: jnp.ndarray, refs: jnp.ndarray,
     )(i_min, row_skip.astype(jnp.int32), curs8,
       *([phases] * k), sel)
     out = out.reshape(b, nbh, k, k, f, nbw)
+    if layout == "kernel":
+        return out
     return out.transpose(0, 4, 1, 5, 2, 3)
 
 
