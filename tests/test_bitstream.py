@@ -317,7 +317,7 @@ def test_vcs_implausible_dims_raise(tmp_path, rng):
         bs.load_vcs(p)
 
 
-@pytest.mark.parametrize("version", [3, 4, 5, 6, 7, 8, 9])
+@pytest.mark.parametrize("version", [3, 4, 5, 6, 7, 8, 9, 10])
 def test_legacy_vcs_versions_load(version):
     """Stored-fixture regression over every legacy container version
     (ADVICE r4): each fixture was written by the commit that introduced

@@ -19,15 +19,16 @@ import pytest
 from vcs_h264_tpu.config import CodecConfig
 
 # (video, mode) -> (max bytes/frame, min PSNR dB capped at 99)
-# max bytes = round-4 measurement + 5% headroom; min PSNR = round-4 - 0.3 dB.
-# Round-4 v10 coder (per-block CBF + in-block run/level/EOB tokens):
-# 13365 / 9380 / 22479 / 15126 B/frame — 26-31% below the round-3 v8
-# points (19154 / 12748 / 32411 / 21319) at identical PSNR.
+# max bytes = round-5 measurement + 5% headroom; min PSNR = round-5 - 0.3 dB.
+# Round-5 v11 coder (significance-map coefficients with spatial/temporal/
+# cross-channel contexts + (left, up) mode contexts): 11880 / 9114 / 20344
+# / 14640 B/frame — -11.1%/-2.8%/-9.5%/-3.2% vs the round-4 v10 points
+# (13365 / 9380 / 22479 / 15126) at identical PSNR.
 _PINS = {
-    ("slow_traffic_small.mp4", "production"): (14050, 34.97),
-    ("slow_traffic_small.mp4", "chroma420"): (9850, 34.91),
-    ("cat_short.mp4", "production"): (23610, 35.93),
-    ("cat_short.mp4", "chroma420"): (15890, 36.60),
+    ("slow_traffic_small.mp4", "production"): (12480, 34.97),
+    ("slow_traffic_small.mp4", "chroma420"): (9570, 34.91),
+    ("cat_short.mp4", "production"): (21370, 35.93),
+    ("cat_short.mp4", "chroma420"): (15380, 36.60),
 }
 
 _VIDEOS = "/root/reference/videos"

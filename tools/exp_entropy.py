@@ -18,6 +18,26 @@ Measured (24f slow_traffic, QF50): cbf -37.4% vs v8 (shipped as v10);
 cbf+lvl adds ~0.1%; cbf+dcd is WORSE (-35.7%) - P-frame residual DCs are
 not spatially correlated the way intra-image DCs are.
 
+Round-5 shootout (same harness, 24f QF50, both R-D videos; shipped as v11,
+native/bitstream.cpp vcs_rc_encode_i16_sig / vcs_rc_encode_modes2d):
+  * significance-map coefficient coder (H.264-CABAC style): CBF with
+    (left, up, temporal co-located, luma co-located) contexts; per-position
+    sig flags with (zigzag bucket, previous frame's sig at that position,
+    previous position's sig); band+gt1 level contexts; explicit last flag.
+    -13.9% / -11.5% vs the v10 CBF coder on the P-coefficient streams —
+    the temporal sig context is the load-bearing piece (+0.6%/+2.9%
+    without it).
+  * mode maps: (left, up)-PAIR truncated-unary contexts: +2.3% vs the v10
+    prev-symbol contexts. An H.264-style MPM-flag variant (min(left, up)
+    flag + reduced alphabet) measured WORSE (-0.6%/+1.0%) — the MPM flag
+    discards the full conditional the pair context keeps.
+  * motion vectors: a median-of-neighbors (left/up/up-right) residual
+    predictor measured WORSE than the v9 zero-flag contexts (-12%/-20%):
+    most blocks are static and already ~free under the zero flag, and
+    prediction turns zero MVs ADJACENT to moving regions into nonzero
+    residuals. A hybrid (v10 zero flag + median-hit flag on nonzero MVs)
+    was also worse (-2.5%/-1.5%). v11 keeps the v9 MV coder.
+
 Run: JAX_PLATFORMS=cpu python tools/exp_entropy.py [--frames 24]
 """
 

@@ -40,6 +40,7 @@ ERAS = [
     (9, "0b67c4a",
      "CodecConfig.production(intra_qstep=16, "
      "gop_pattern=('I', 'B', 'P', 'B', 'P'))"),
+    (10, "6d6b15c", "CodecConfig.production(intra_qstep=16)"),
 ]
 
 GEN = r"""
