@@ -167,3 +167,53 @@ def test_fused_luma_plane_matches_xla_420(rng, interpret_pallas):
         cfg.quality_factor)[:, :, 0])
     diff = np.abs(got_d.astype(np.int64) - want_d.astype(np.int64))
     assert diff.max() <= 1 and (diff != 0).mean() < 1e-4
+
+
+@pytest.mark.parametrize("h,w,qf", [(32, 128, 50.0), (48, 64, 75.0)])
+def test_fused_c420_matches_xla(rng, interpret_pallas, h, w, qf):
+    """Two-MV-rows-per-strip chroma kernel (ops/inter_pallas.py
+    _fused_call_c420) vs pipeline420's XLA composition (halved-grid
+    compensation + _code_planes/_decode_planes with the C table).
+    h, w here are the CHROMA plane dims; the MV grid is bs/2 = 4 px."""
+    IP = interpret_pallas
+    from vcs_h264_tpu.ops import motion
+    from vcs_h264_tpu.models.pipeline420 import _code_planes, _decode_planes
+    from vcs_h264_tpu.ops.quant import quant_tables
+
+    bs, reach_c = 8, 8
+    g, f = 2, 3
+    nbh_mv, nbw_mv = h // 4, w // 4
+    c_refs = jnp.asarray(rng.integers(0, 256, (g, 2, h, w)), jnp.int32)
+    c_curs = jnp.asarray(rng.integers(0, 256, (g, f, 2, h, w)), jnp.int32)
+    mv_c = rng.integers(-reach_c, reach_c + 1,
+                        (g, f, nbh_mv, nbw_mv, 2)).astype(np.int32)
+    # the search guarantees every source window stays inside the frame
+    # (clamped candidate grids); mirror that, else the XLA path's gather
+    # clamp and the kernel's padding diverge on out-of-frame sources
+    bi = np.arange(nbh_mv) * 4
+    bj = np.arange(nbw_mv) * 4
+    mv_c[..., 0] = np.clip(mv_c[..., 0], -bj[None, None, None, :],
+                           (w - 4) - bj[None, None, None, :])
+    mv_c[..., 1] = np.clip(mv_c[..., 1], -bi[None, None, :, None],
+                           (h - 4) - bi[None, None, :, None])
+    mv_c = jnp.asarray(mv_c)
+    # some all-static rows to exercise the fast path
+    mv_c = mv_c.at[:, :, :2].set(0)
+
+    qc = quant_tables(qf, jnp.float32)[1]
+    pred = motion.motion_compensate_gops(mv_c, c_refs, bs=4, reach=reach_c,
+                                         backend="jnp")
+    want_co = np.asarray(_code_planes(c_curs - pred, qc, bs))
+    got_co = np.asarray(IP.encode_c420_coeffs_fused(
+        mv_c, c_refs, c_curs, bs, reach_c, qf))
+    np.testing.assert_allclose(got_co, want_co, atol=1)
+    frac = np.mean(got_co != want_co)
+    assert frac < 1e-3, frac                 # off-TPU round-at-.5 ties only
+
+    co = jnp.asarray(want_co, jnp.int16)
+    want_fr = np.asarray(jnp.clip(
+        pred + _decode_planes(co, qc, bs), 0, 255))
+    got_fr = np.asarray(IP.decode_c420_frames_fused(
+        mv_c, c_refs, co, bs, reach_c, qf))
+    np.testing.assert_allclose(got_fr, want_fr, atol=1)
+    assert np.mean(got_fr != want_fr) < 1e-3

@@ -105,7 +105,38 @@ def main():
         assert np.array_equal(got_d, want_d), \
             f"fused luma decode mismatch {b}x{f}x{h}x{w}"
         print(f"ok fused luma {b}x{f} {h}x{w}")
-    print("fused inter kernels (enc + dec, c=3 and c=1) bit-exact on TPU")
+    # 4:2:0 chroma kernel: two MV rows per transform strip, Cr|Cb concat
+    for (b, f, hc, wc) in [(2, 3, 176, 320)]:
+        bs = cfg420.block_size
+        reach_c = cfg420.search_reach // 2
+        nbh_mv, nbw_mv = hc // 4, wc // 4
+        c_ref = jnp.asarray(rng.integers(0, 256, (b, 2, hc, wc)), jnp.int32)
+        c_cur = jnp.asarray(rng.integers(0, 256, (b, f, 2, hc, wc)),
+                            jnp.int32)
+        mvc = rng.integers(-reach_c, reach_c + 1, (b, f, nbh_mv, nbw_mv, 2))
+        ci = np.arange(nbh_mv)[:, None] * 4
+        cj = np.arange(nbw_mv)[None, :] * 4
+        mvc[..., 1] = np.clip(mvc[..., 1], -ci, hc - 4 - ci)
+        mvc[..., 0] = np.clip(mvc[..., 0], -cj, wc - 4 - cj)
+        mvc = jnp.asarray(mvc, jnp.int32)
+        _, qc = p420._tables(cfg420)
+        pred = M.motion_compensate_gops(mvc, c_ref, bs=4, reach=reach_c,
+                                        backend="jnp")
+        want = np.asarray(p420._code_planes(c_cur - pred, qc, bs))
+        got = np.asarray(IP.encode_c420_coeffs_fused(
+            mvc, c_ref, c_cur, bs, reach_c, cfg420.quality_factor))
+        assert np.array_equal(got, want.astype(np.int16)), \
+            f"fused chroma encode mismatch {b}x{f} {hc}x{wc}"
+        want_d = np.asarray(jnp.clip(
+            pred + p420._decode_planes(jnp.asarray(want), qc, bs), 0, 255))
+        got_d = np.asarray(IP.decode_c420_frames_fused(
+            mvc, c_ref, jnp.asarray(want, jnp.int16), bs, reach_c,
+            cfg420.quality_factor))
+        assert np.array_equal(got_d, want_d), \
+            f"fused chroma decode mismatch {b}x{f} {hc}x{wc}"
+        print(f"ok fused chroma {b}x{f} {hc}x{wc}")
+    print("fused inter kernels (enc + dec, c=3/c=1/chroma420) bit-exact "
+          "on TPU")
 
     # wavefront intra kernels (MXU formulation, ops/intra_pallas.py)
     from vcs_h264_tpu.ops import intra as I

@@ -145,13 +145,38 @@ def _compensate(mv, refs, bs, reach):
 
 def _use_fused_luma(cfg: CodecConfig, n_p: int) -> bool:
     """Fused Pallas path for the LUMA inter stage (ops/inter_pallas.py,
-    c == 1): compensation + DCT + quant in one kernel, bitwise-equal to the
-    _code_planes composition. Chroma stays on the XLA path: its 4-px motion
-    grid under the 8-px DCT grid means two MV rows per transform strip,
-    which the strip kernel does not model (and chroma is quarter-area)."""
+    c == 1): compensation + DCT + quant in one kernel, bitwise-equal to
+    the _code_planes composition. Chroma has its own fused path
+    (_use_fused_chroma) since round 5."""
     from vcs_h264_tpu.ops.motion import use_pallas_default
     return (n_p > 0 and cfg.with_residual and cfg.block_size == 8
             and use_pallas_default())
+
+
+def _use_fused_chroma(cfg: CodecConfig, n_p: int, wc: int) -> bool:
+    """Fused Pallas path for the CHROMA inter stage (ops/inter_pallas.py
+    _fused_call_c420): the Cr|Cb planes concatenate along W (restoring
+    128-lane alignment) and the kernel models the two 4-px MV rows under
+    each 8-px transform strip with per-half displacement maps (VERDICT r4
+    Next #4). Bitwise-equal to the XLA composition below."""
+    from vcs_h264_tpu.ops.motion import use_pallas_default
+    return (n_p > 0 and cfg.with_residual and cfg.block_size == 8
+            and cfg.search_reach // 2 >= 1 and (2 * wc) % 128 == 0
+            and use_pallas_default())
+
+
+def _fused_code_c(mv, c_ref, c_cur, cfg: CodecConfig):
+    from vcs_h264_tpu.ops.inter_pallas import encode_c420_coeffs_fused
+    return encode_c420_coeffs_fused(
+        _chroma_mv(mv), c_ref, c_cur, cfg.block_size,
+        cfg.search_reach // 2, cfg.quality_factor)
+
+
+def _fused_decode_c(mv, c_ref, res_c, cfg: CodecConfig):
+    from vcs_h264_tpu.ops.inter_pallas import decode_c420_frames_fused
+    return decode_c420_frames_fused(
+        _chroma_mv(mv), c_ref, res_c, cfg.block_size,
+        cfg.search_reach // 2, cfg.quality_factor)
 
 
 def _fused_code_y(mv, y_ref, y_cur, cfg: CodecConfig):
@@ -218,11 +243,16 @@ def encode_gop_batch_420(i_frames: jnp.ndarray, p_frames: jnp.ndarray,
     mv = _search(y_p, y_i, cfg)
     res_y = res_c = None
     fused_y = _use_fused_luma(cfg, y_p.shape[1])
+    fused_c = _use_fused_chroma(cfg, y_p.shape[1], c_p.shape[-1])
+    pred_c = None
     if fused_y:
         res_y = _fused_code_y(mv, y_i, y_p, cfg)
-        pred_c = _compensate(_chroma_mv(mv), c_i, bs // 2,
-                             max(1, cfg.search_reach // 2))
-        res_c = _code_planes(c_p - pred_c, qc, bs)
+        if fused_c:
+            res_c = _fused_code_c(mv, c_i, c_p, cfg)
+        else:
+            pred_c = _compensate(_chroma_mv(mv), c_i, bs // 2,
+                                 max(1, cfg.search_reach // 2))
+            res_c = _code_planes(c_p - pred_c, qc, bs)
     else:
         pred_y, pred_c = _predict(mv, y_i, c_i, cfg)
         if cfg.with_residual:
@@ -237,7 +267,10 @@ def encode_gop_batch_420(i_frames: jnp.ndarray, p_frames: jnp.ndarray,
     # closed loop: decoded anchors
     if fused_y:
         dec_y = _fused_decode_y(mv, y_i, res_y, cfg)
-        dec_c = jnp.clip(pred_c + _decode_planes(res_c, qc, bs), 0, 255)
+        if fused_c:
+            dec_c = _fused_decode_c(mv, c_i, res_c, cfg)
+        else:
+            dec_c = jnp.clip(pred_c + _decode_planes(res_c, qc, bs), 0, 255)
     else:
         dec_y, dec_c = pred_y, pred_c
         if cfg.with_residual:
@@ -292,9 +325,13 @@ def decode_gop_batch_420(gop: EncodedGOP420, cfg: CodecConfig,
     if (gop.res_y is not None
             and _use_fused_luma(cfg, gop.mv.shape[1])):
         rec_y = _fused_decode_y(gop.mv, y_i, gop.res_y, cfg)
-        rec_c = _compensate(_chroma_mv(gop.mv), c_i, bs // 2,
-                            max(1, cfg.search_reach // 2))
-        rec_c = jnp.clip(rec_c + _decode_planes(gop.res_c, qc, bs), 0, 255)
+        if _use_fused_chroma(cfg, gop.mv.shape[1], c_i.shape[-1]):
+            rec_c = _fused_decode_c(gop.mv, c_i, gop.res_c, cfg)
+        else:
+            rec_c = _compensate(_chroma_mv(gop.mv), c_i, bs // 2,
+                                max(1, cfg.search_reach // 2))
+            rec_c = jnp.clip(rec_c + _decode_planes(gop.res_c, qc, bs),
+                             0, 255)
     else:
         rec_y, rec_c = _predict(gop.mv, y_i, c_i, cfg)
         if cfg.with_residual and gop.res_y is not None:

@@ -60,12 +60,14 @@ def _kron_np(bs: int, n: int, transpose: bool) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _q_strip_np(qf: float, c: int, bs: int, w: int) -> np.ndarray:
+def _q_strip_np(qf: float, c: int, bs: int, w: int,
+                chroma: bool = False) -> np.ndarray:
     """[C*bs, W] quantization divisor strip: q[ci, i, j % bs] tiled along
     the lane axis (Y table for channel 0, C table elsewhere — the fused path
-    codes YCrCb order like quant_tables)."""
+    codes YCrCb order like quant_tables; chroma=True uses the C table for
+    every channel, the 4:2:0 chroma-plane path)."""
     qy, qc = quant_tables_np(qf)
-    tabs = [qy] + [qc] * (c - 1)
+    tabs = [qc] * c if chroma else [qy] + [qc] * (c - 1)
     strip = np.concatenate([np.tile(t, (1, w // bs)) for t in tabs], axis=0)
     return strip.astype(np.float32)
 
@@ -432,6 +434,125 @@ def _dec_kernel_wide(static_ref, diall_ref, cmpv_ref, *refs, k_oct, bs,
                          out_ref, sbuf_ref, wbuf_ref, c=c, bs=bs, f=f, w=w)
 
 
+def _recon_wide_2h(strip, di0_ref, cv0_ref, di1_ref, cv1_ref, *, c, bs,
+                   reach, pad, f, w):
+    """Two-MV-rows-per-strip reconstruction (4:2:0 chroma: the transform
+    strip is bs = 8 rows but the motion grid is bs/2 = 4, so the top and
+    bottom half-strips carry independent displacements). Each half gets
+    its own one-hot column mix and a (2*reach+1)-way select of HALF-height
+    windows; the halves concatenate on sublanes (same lane offsets, so the
+    register concat is legal). -> [C, bs, F*W] i32 recentered."""
+    rows = strip.shape[1]
+    wpp = strip.shape[-1]
+    fw = f * w
+    half = bs // 2
+    sb = strip.reshape(c * rows, wpp)
+    rowi = lax.broadcasted_iota(jnp.int32, (wpp, fw), 0)
+    accs = []
+    for hi, (di_ref, cv_ref) in enumerate(((di0_ref, cv0_ref),
+                                           (di1_ref, cv1_ref))):
+        m = (rowi == cv_ref[0, 0, 0][None, :]).astype(jnp.int8)
+        t = lax.dot_general(sb, m,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+        t = t.reshape(c, rows, fw)
+        di = di_ref[0, 0, 0][None, None, :]
+        acc = jnp.zeros((c, half, fw), jnp.int32)
+        base = pad + hi * half
+        for d in range(-reach, reach + 1):
+            seg = lax.slice(t, (0, base + d, 0), (c, base + d + half, fw))
+            acc = jnp.where(di == d, seg, acc)
+        accs.append(acc)
+    return jnp.concatenate(accs, axis=1)
+
+
+def _enc_kernel_wide2h(static_ref, di0, cv0, di1, cv1, *refs, k_oct, bs,
+                       reach, pad, w, c, f):
+    oct_refs = refs[:k_oct]
+    cur_ref, klf_ref, krs_ref, qts_ref, out_ref = refs[k_oct:k_oct + 5]
+    rbuf_ref, sbuf_ref = refs[k_oct + 5:k_oct + 7]
+    g, bi = pl.program_id(0), pl.program_id(1)
+    strip = _strip_of(oct_refs, c, bs)
+
+    @pl.when(static_ref[g, bi] == 1)
+    def _():
+        recon = _recon_static(strip, c=c, bs=bs, pad=pad, w=w)
+        _enc_epi_stacked(_tile_static(recon, f=f), cur_ref, klf_ref,
+                         krs_ref, qts_ref, out_ref, sbuf_ref,
+                         c=c, bs=bs, f=f, w=w)
+
+    @pl.when(static_ref[g, bi] == 0)
+    def _():
+        wide = _recon_wide_2h(strip, di0, cv0, di1, cv1, c=c, bs=bs,
+                              reach=reach, pad=pad, f=f, w=w)
+        recon_st = _stack_recon(wide, rbuf_ref, c=c, bs=bs, f=f, w=w)
+        _enc_epi_stacked(recon_st, cur_ref, klf_ref, krs_ref, qts_ref,
+                         out_ref, sbuf_ref, c=c, bs=bs, f=f, w=w)
+
+
+def _dec_kernel_wide2h(static_ref, di0, cv0, di1, cv1, *refs, k_oct, bs,
+                       reach, pad, w, c, f):
+    oct_refs = refs[:k_oct]
+    coef_ref, klf_ref, krs_ref, qt_ref, out_ref = refs[k_oct:k_oct + 5]
+    rbuf_ref, sbuf_ref, wbuf_ref = refs[k_oct + 5:k_oct + 8]
+    g, bi = pl.program_id(0), pl.program_id(1)
+    strip = _strip_of(oct_refs, c, bs)
+
+    @pl.when(static_ref[g, bi] == 1)
+    def _():
+        recon = _recon_static(strip, c=c, bs=bs, pad=pad, w=w)
+        _dec_epi_stacked(_tile_static(recon, f=f), coef_ref, klf_ref,
+                         krs_ref, qt_ref, out_ref, sbuf_ref, wbuf_ref,
+                         c=c, bs=bs, f=f, w=w)
+
+    @pl.when(static_ref[g, bi] == 0)
+    def _():
+        wide = _recon_wide_2h(strip, di0, cv0, di1, cv1, c=c, bs=bs,
+                              reach=reach, pad=pad, f=f, w=w)
+        recon_st = _stack_recon(wide, rbuf_ref, c=c, bs=bs, f=f, w=w)
+        _dec_epi_stacked(recon_st, coef_ref, klf_ref, krs_ref, qt_ref,
+                         out_ref, sbuf_ref, wbuf_ref, c=c, bs=bs, f=f, w=w)
+
+
+def _prep_wide_2h(mv, refs, bs, reach):
+    """Operand prep for the two-half chroma kernel: mv [G, F, nbh_mv,
+    nbw_mv, 2] on the bs/2-px grid; refs [G, 1, H, W] (the Cr|Cb planes
+    pre-concatenated along W by the caller — MV clamping guarantees no
+    source window crosses the channel seam). Returns per-half (diall,
+    cmpv) [G, nbh_t, 1, F*W] + the padded octet refs."""
+    g, f, nbh_mv, nbw_mv = mv.shape[:4]
+    c, h, w = refs.shape[1:]
+    bs_mv = bs // 2
+    nbh_t = nbh_mv // 2
+    pad_top = _round_up(reach, bs)
+    k_oct = -(-(pad_top + reach + bs) // bs)
+    pad_bot = k_oct * bs - bs - pad_top
+    wpp = _round_up(w + 2 * pad_top, 128)
+    refp = jnp.pad((refs - 128).astype(jnp.int8),
+                   ((0, 0), (0, 0), (pad_top, pad_bot),
+                    (pad_top, wpp - w - pad_top)),
+                   constant_values=np.int8(-128))
+    n_oct = refp.shape[2] // bs
+    refp = refp.reshape(g, c, n_oct, bs, wpp).transpose(
+        0, 2, 1, 3, 4).reshape(g, n_oct, c * bs, wpp)
+
+    colmod = jnp.tile(jnp.arange(w, dtype=jnp.int32), f)
+    halves = []
+    for hi in range(2):
+        mvh = mv[:, :, hi::2]                        # [G, F, nbh_t, nbw, 2]
+        # per-pixel maps over the half-width grid, tiled across the two
+        # channel halves of the concatenated plane
+        dip = jnp.repeat(mvh[..., 1], bs_mv, axis=-1).astype(jnp.int32)
+        djp = jnp.repeat(mvh[..., 0], bs_mv, axis=-1).astype(jnp.int32)
+        dip = jnp.tile(dip, (1, 1, 1, 2)).transpose(0, 2, 1, 3)
+        djp = jnp.tile(djp, (1, 1, 1, 2)).transpose(0, 2, 1, 3)
+        diall = dip.reshape(g, nbh_t, 1, f * w)
+        cmpv = (djp.reshape(g, nbh_t, 1, f * w)
+                + colmod[None, None, None, :] + pad_top)
+        halves.append((diall, cmpv))
+    return halves, refp, k_oct, pad_top, wpp
+
+
 def _prep_wide(mv, refs, bs, reach):
     """Wide-kernel operand prep: flattened per-pixel displacement rows
     diall [G, nbh, 1, F*W] and one-hot targets cmpv [G, nbh, 1, F*W]
@@ -602,3 +723,104 @@ def decode_p_frames_fused(mv: jnp.ndarray, refs: jnp.ndarray,
     [G, F, C, H, W] int32 decoded frames (== clip(recon +
     dct_decompress_residual_signed(coeffs)) bitwise)."""
     return _fused_call(mv, refs, coeffs, bs, reach, qf, decode=True)
+
+
+# --- 4:2:0 chroma: fused compensate + DCT + quant ---------------------------
+#
+# The chroma planes' 4-px motion grid under the 8-px transform grid means
+# TWO MV rows per transform strip — which the luma kernels cannot model —
+# and the half-width planes (W/2 = 320 at the headline point) are not
+# 128-lane-aligned. Both constraints dissolve together (VERDICT r4 Next
+# #4): the Cr|Cb planes concatenate along W into ONE [H/2, W] plane
+# (restoring lane alignment; MV clamping keeps every source window inside
+# its own channel half, so the seam is never read across), and the
+# reconstruction runs per half-strip with independent displacement maps
+# (_recon_wide_2h). Epilogues are the shared frame-stacked slab forms with
+# the C quant table. Bitwise-equal to pipeline420's XLA composition
+# (chroma-halved compensation + _code_planes/_decode_planes).
+
+
+def _fused_call_c420(mv_c, c_refs, planes, bs, reach_c, qf, *, decode):
+    g = mv_c.shape[0]
+    f = mv_c.shape[1]
+    hc, wc = c_refs.shape[-2:]
+    w = 2 * wc
+    refs = jnp.concatenate([c_refs[:, 0], c_refs[:, 1]], axis=-1)[:, None]
+    c = 1
+    nbh_t = hc // bs
+    if decode:
+        planes = jnp.concatenate([planes[:, :, 0], planes[:, :, 1]],
+                                 axis=-1)[:, :, None]
+        planes = planes.astype(jnp.int16).reshape(g, f, c, nbh_t, bs, w)
+        kl = jnp.asarray(_kron_np(bs, f * c, True))
+        kr = jnp.asarray(_kron_np(bs, 128 // bs, False))
+        out_dtype = jnp.int32
+    else:
+        planes = jnp.concatenate([planes[:, :, 0], planes[:, :, 1]],
+                                 axis=-1)[:, :, None]
+        planes = (planes - 128).astype(jnp.int8).reshape(
+            g, f, c, nbh_t, bs, w)
+        kl = jnp.asarray(_kron_np(bs, f * c, False))
+        kr = jnp.asarray(_kron_np(bs, 128 // bs, True))
+        out_dtype = jnp.int16
+    q = np.tile(_q_strip_np(qf, c, bs, w, chroma=True), (f, 1))
+    if not decode:
+        m = f * c * bs
+        q = q.reshape(m, w // 128, 128).transpose(1, 0, 2).reshape(
+            (w // 128) * m, 128)
+    q = jnp.asarray(q)
+    # a strip is static iff BOTH of its MV rows are all-zero
+    row_static = jnp.all(mv_c == 0, axis=(1, 3, 4))
+    row_static = jnp.all(
+        row_static.reshape(g, nbh_t, 2), axis=-1).astype(jnp.int32)
+
+    halves, refp, k_oct, pad_top, wpp = _prep_wide_2h(
+        mv_c, refs, bs, reach_c)
+    lane_spec, oct_specs, plane_spec, const_spec = _specs_wide(
+        f, c, bs, w, wpp, k_oct)
+    body = _dec_kernel_wide2h if decode else _enc_kernel_wide2h
+    m = f * c * bs
+    scratch = [pltpu.VMEM((m, w), jnp.int32),
+               pltpu.VMEM(((w // 128) * m, 128), jnp.float32)]
+    if decode:
+        scratch.append(pltpu.VMEM((m, w), jnp.float32))
+
+    kernel = functools.partial(body, k_oct=k_oct, bs=bs, reach=reach_c,
+                               pad=pad_top, w=w, c=c, f=f)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g, nbh_t),
+        in_specs=[lane_spec] * 4 + oct_specs
+        + [plane_spec, const_spec(kl.shape), const_spec(kr.shape),
+           const_spec(q.shape)],
+        out_specs=plane_spec,
+        scratch_shapes=scratch)
+    (di0, cv0), (di1, cv1) = halves
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((g, f, c, nbh_t, bs, w), out_dtype),
+        compiler_params=_COMPILER_PARAMS,
+    )(row_static, di0, cv0, di1, cv1, *([refp] * k_oct), planes, kl, kr, q)
+    out = out.reshape(g, f, hc, w)
+    return jnp.stack([out[..., :wc], out[..., wc:]], axis=2)
+
+
+def encode_c420_coeffs_fused(mv_c: jnp.ndarray, c_refs: jnp.ndarray,
+                             c_curs: jnp.ndarray, bs: int, reach_c: int,
+                             qf: float) -> jnp.ndarray:
+    """mv_c [G, F, nbh_mv, nbw_mv, 2] (CHROMA vectors, bs/2-px grid);
+    c_refs [G, 2, H/2, W/2] int; c_curs [G, F, 2, H/2, W/2] -> int16
+    coefficients [G, F, 2, H/2, W/2] (== pipeline420._code_planes of
+    c_curs - compensate(mv_c) with the C table, bitwise)."""
+    return _fused_call_c420(mv_c, c_refs, c_curs, bs, reach_c, qf,
+                            decode=False)
+
+
+def decode_c420_frames_fused(mv_c: jnp.ndarray, c_refs: jnp.ndarray,
+                             coeffs: jnp.ndarray, bs: int, reach_c: int,
+                             qf: float) -> jnp.ndarray:
+    """[G, F, 2, H/2, W/2] int32 decoded chroma planes (== clip(compensate
+    + _decode_planes) bitwise)."""
+    return _fused_call_c420(mv_c, c_refs, coeffs, bs, reach_c, qf,
+                            decode=True)
