@@ -17,9 +17,26 @@ if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Persistent (on-disk) XLA compilation cache, shared by every test process
+# including the jax.distributed subprocesses of test_distributed_2proc.py
+# (they inherit the env var). The per-module clear_caches() below bounds the
+# LIVE executable set; this cache makes the resulting recompiles of
+# identical programs across modules cheap disk hits instead of fresh XLA
+# runs — together they cut suite wall time roughly in half. The dir is
+# repo-local and gitignored; a cold run warms it for the next.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_test_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np
 import pytest

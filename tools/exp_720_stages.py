@@ -1,9 +1,11 @@
-"""720p production stage split: intra enc / intra dec / inter enc+dec.
+"""Production stage split at tiled resolutions: intra enc/dec, inter enc+dec.
 
-Times the three programs of bench.py's prod_bench separately at the
-1280x720 operating point to direct optimization (VERDICT r2 Next #1).
+Times the three programs of bench.py's prod_bench separately to direct
+optimization (VERDICT r2 Next #1; generalized to 1080p for r4 Next #6).
+The 640x360 source frames are tiled --tile x --tile:
+  --tile 2 -> 1280x720 (the north-star point), --tile 3 -> 1920x1080.
 
-Run: python tools/exp_720_stages.py [--frames 32] [--iters 4]
+Run: python tools/exp_720_stages.py [--frames 32] [--iters 4] [--tile 2]
 """
 
 import argparse
@@ -20,6 +22,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--tile", type=int, default=2,
+                    help="spatial tiling of the 640x360 source (2=720p, 3=1080p)")
     args = ap.parse_args()
     import jax
     jax.config.update("jax_compilation_cache_dir", os.path.join(
@@ -38,7 +42,8 @@ def main():
         ok, f = cap.read()
         frames.append(f)
     cap.release()
-    arr = np.tile(np.stack(frames).transpose(0, 3, 1, 2), (1, 1, 2, 2))
+    arr = np.tile(np.stack(frames).transpose(0, 3, 1, 2),
+                  (1, 1, args.tile, args.tile))
     cfg = CodecConfig.production(intra_qstep=24)
     g = cfg.gop_len
     b = len(frames) // g
@@ -46,7 +51,8 @@ def main():
     p_b = jnp.asarray(np.stack(
         [arr[k * g + 1:k * g + g] for k in range(b)])).astype(jnp.int32)
     QSTEP = 24
-    print(f"frames={len(frames)} gops={b} i_b={i_b.shape}")
+    print(f"frames={len(frames)} gops={b} i_b={i_b.shape} "
+          f"res={arr.shape[-1]}x{arr.shape[-2]}")
 
     def fused(step):
         @jax.jit

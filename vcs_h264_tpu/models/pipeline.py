@@ -185,7 +185,17 @@ def _use_fused_inter(cfg: CodecConfig, n_p: int) -> bool:
     signed residual + RCT + DCT + quant in one kernel, bitwise-equal to the
     XLA composition below. TPU-only (CPU runs the XLA path); production
     full-res mode only (the wrap-semantics reference path and 4:2:0 have
-    their own compositions)."""
+    their own compositions).
+
+    Determinism contract: because the path is selected by the runtime
+    platform, bit-exact closed-loop decode is guaranteed only on the same
+    backend class as the encoder (TPU<->TPU or CPU<->CPU). Across backends
+    the two compositions can differ by +/-1 at exact round-at-.5 ties in
+    the inverse transform (~1e-5 of pixels on real content; see
+    tests/test_inter_pallas.py), so a TPU-encoded B-frame stream decoded
+    on CPU may drift by 1 LSB at those anchors. The container records
+    coefficients, not pixels, so the drift never compounds across GOPs
+    (each GOP restarts from its stored I-frame)."""
     from vcs_h264_tpu.ops.motion import use_pallas_default
     return (n_p > 0 and cfg.with_residual and cfg.with_dct
             and cfg.quant_mode == "rounded" and cfg.signed_residual
