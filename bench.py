@@ -27,6 +27,11 @@ Extras (each its own fused loop, run while the time budget allows):
   * encode_decode_fps_1280x720 — the north-star operating point
     (BASELINE.json: frames/s per chip at 720p, intra+inter), production
     config on 2x2-tiled 720p frames.
+  * chroma420_fps_640x352 / production_fps_1920x1080 — the 4:2:0 codec
+    mode and the 3x3-tiled 1080p point.
+  * *_lumasearch — the same programs with cfg.search_luma_only (H.264-
+    style G-channel motion estimation, quality-neutral: BASELINE.md
+    round-5 notes); the plain keys keep the 3-channel-SAD definition.
 
 The persistent XLA compilation cache (.jax_cache/) makes warm runs skip the
 multi-minute remote compiles; cold runs degrade to provisional numbers.
@@ -209,8 +214,13 @@ def main():
         _ = int(loop_fn(*args))
         return time.perf_counter() - t0
 
-    def prod_bench(i_frames, p_frames, n_iters, label):
-        pcfg = CodecConfig.production(intra_qstep=QSTEP)
+    def prod_bench(i_frames, p_frames, n_iters, label, luma_search=False):
+        # luma_search=True measures the H.264-style G-channel motion search
+        # (cfg.search_luma_only) under its own *_lumasearch key — the plain
+        # keys keep the 3-channel-SAD definition for round-over-round
+        # comparability.
+        pcfg = CodecConfig.production(intra_qstep=QSTEP,
+                                      search_luma_only=luma_search)
 
         @jax.jit
         def loop_enc(i_f, p_f):
@@ -267,6 +277,11 @@ def main():
             result["encode_decode_fps_1280x720"] = prod_bench(
                 i7, p7, 4, "production 720p")
             print(json.dumps(result), flush=True)
+            if left() > 45:
+                result["encode_decode_fps_1280x720_lumasearch"] = prod_bench(
+                    i7, p7, 4, "production 720p luma-search",
+                    luma_search=True)
+                print(json.dumps(result), flush=True)
         if left() > 45:
             # the 4:2:0 codec mode (lossy intra + luma search + chroma on
             # halved vectors), 640x352 (2*bs multiple)
@@ -301,6 +316,11 @@ def main():
             result["production_fps_1920x1080"] = prod_bench(
                 i9, p9, 4, "production 1080p")
             print(json.dumps(result), flush=True)
+            if left() > 45:
+                result["production_fps_1920x1080_lumasearch"] = prod_bench(
+                    i9, p9, 4, "production 1080p luma-search",
+                    luma_search=True)
+                print(json.dumps(result), flush=True)
     except Exception as e:                              # extras must never
         result["extras_error"] = repr(e)                # kill the headline
         print(json.dumps(result), flush=True)

@@ -38,6 +38,11 @@ def _add_codec_args(p: argparse.ArgumentParser):
                    help="4:2:0 codec mode: Y + quarter-res chroma through "
                         "the whole pipeline (implies the production quant "
                         "path)")
+    p.add_argument("--search-luma-only", action="store_true",
+                   help="motion-search SAD on the G channel only "
+                        "(H.264-style luma-only estimation; ~1.9x faster "
+                        "search, stored MVs still drive full-channel "
+                        "compensation)")
     p.add_argument("--gop-batch", type=int, default=8)
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--profile", action="store_true",
@@ -60,7 +65,8 @@ def _cfg(args):
         quant_mode=args.quant_mode,
         intra_i=args.intra_i or args.intra_qstep > 0,
         intra_qstep=args.intra_qstep,
-        chroma_420=args.chroma_420)
+        chroma_420=args.chroma_420,
+        search_luma_only=getattr(args, "search_luma_only", False))
     if args.production:
         kw["quant_mode"] = "rounded"
         kw["intra_i"] = True

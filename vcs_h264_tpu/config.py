@@ -36,6 +36,18 @@ class CodecConfig:
     # coarse search grid step (ref: motion.py:132 `round(block_size/3)`)
     search_step: int = 3
 
+    # Search SAD on the G channel only instead of all three BGR planes —
+    # what every production H.264 encoder does (motion estimation on luma).
+    # Encoder-side choice only: the stored MVs drive full-channel
+    # compensation, so decoders are unaffected and containers are unchanged.
+    # The static threshold (defined on 3-channel SAD, motion.py:8) is scaled
+    # by 1/3 so the static early-out keeps its intended sensitivity.
+    # Measured at 720p/1080p: search stage ~1.9x faster, e2e PSNR within
+    # 0.05 dB (BASELINE.md round-5 notes). Default False = the reference's
+    # 3-channel semantics (parity mode). No-op in chroma_420 mode, which
+    # already searches luma by construction.
+    search_luma_only: bool = False
+
     # --- transform / quantization -------------------------------------------
     quality_factor: float = 50.0      # ref: DCTcompressor.py:29 (dct.py:157 uses 99)
     with_residual: bool = True        # ref: main.py:27

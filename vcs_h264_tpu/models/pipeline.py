@@ -215,16 +215,30 @@ def _fused_decode(mv, refs, coeffs, cfg: CodecConfig):
                                  cfg.search_reach, cfg.quality_factor)
 
 
+def _search_inputs(cur, ref, cfg: CodecConfig, chan_axis: int):
+    """Apply cfg.search_luma_only: SAD over the G channel only (H.264-style
+    luma-only motion estimation; encoder-side — MVs drive full-channel
+    compensation). The static threshold is 3-channel-SAD-denominated
+    (motion.py:8), so it scales by 1/3 with the searched channel count."""
+    if not cfg.search_luma_only:
+        return cur, ref, cfg.static_threshold
+    sl = (slice(None),) * chan_axis + (slice(1, 2),)
+    return cur[sl], ref[(slice(None),) * (chan_axis - 1) + (slice(1, 2),)], \
+        cfg.static_threshold // 3
+
+
 def _search_gop(p_frames, i_frame, cfg: CodecConfig):
+    p_frames, i_frame, th = _search_inputs(p_frames, i_frame, cfg, 1)
     return motion.motion_search_batch(
         p_frames, i_frame, bs=cfg.block_size, reach=cfg.search_reach,
-        step=cfg.search_step, static_threshold=cfg.static_threshold)
+        step=cfg.search_step, static_threshold=th)
 
 
 def _search_gops(p_b, i_b, cfg: CodecConfig):
+    p_b, i_b, th = _search_inputs(p_b, i_b, cfg, 2)
     return motion.motion_search_gops(
         p_b, i_b, bs=cfg.block_size, reach=cfg.search_reach,
-        step=cfg.search_step, static_threshold=cfg.static_threshold)
+        step=cfg.search_step, static_threshold=th)
 
 
 def _compensate_gops(mv, refs, cfg: CodecConfig):

@@ -176,10 +176,16 @@ def _finish_mv(pi, pj, cur_t, strip, tile_idx, plan, th, static_threshold):
 def tile_motion_search(cur_t, strip, valid_i_t, pos_i_t, tile_idx,
                        cfg: CodecConfig, h: int, w: int, th: int):
     plan = make_plan(h, w, cfg.block_size, cfg.search_reach, cfg.search_step)
+    # cfg.search_luma_only: G-channel SAD with a 1/3-scaled static threshold,
+    # mirroring models/pipeline.py _search_inputs so sharded == unsharded.
+    static_th = cfg.static_threshold
+    if cfg.search_luma_only:
+        cur_t, strip = cur_t[1:2], strip[1:2]
+        static_th //= 3
     pi, pj, _ = _tile_search(cur_t, strip, valid_i_t, pos_i_t, tile_idx,
                              plan, th)
     return _finish_mv(pi, pj, cur_t, strip, tile_idx, plan, th,
-                      cfg.static_threshold)
+                      static_th)
 
 
 def tile_motion_compensate(mv_t, strip, tile_idx, bs: int, th: int, halo: int):
