@@ -34,6 +34,15 @@ def test_two_process_distributed_encode(tmp_path):
     ck = str(tmp_path / "ck")
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)        # subprocesses need no virtual devices
+    # The shared persistent compilation cache (conftest) must NOT reach
+    # multi-process jax.distributed ranks: XLA bakes collective instance
+    # keys into compiled CPU executables, and a rank loading a cached
+    # executable while its peer compiles fresh (or loads one cached from a
+    # different compile order) desynchronizes the Gloo rendezvous keys —
+    # observed as "Gloo context initialization failed: Connect timeout /
+    # GetKeyValue() timed out" at the final sync_global_devices. Cold
+    # compiles in both ranks always agree.
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
     procs = [
         subprocess.Popen(
             [sys.executable, "-m", "vcs_h264_tpu.cli", "encode", VIDEO,

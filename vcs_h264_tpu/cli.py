@@ -113,7 +113,8 @@ def _encode_distributed(args, cfg):
     from vcs_h264_tpu.io.video import VideoReader
     from vcs_h264_tpu.parallel.distributed import (assign_gops,
                                                    frame_range_for_gops,
-                                                   init_distributed)
+                                                   init_distributed,
+                                                   process_barrier)
     import os
     if not args.coordinator and not os.environ.get("VCS_COORDINATOR"):
         sys.exit("--procs > 1 requires --coordinator host:port")
@@ -136,8 +137,7 @@ def _encode_distributed(args, cfg):
         enc.encode_frames(all_frames[lo:hi], fps=reader.fps,
                           checkpoint_dir=ck, gop_index_offset=idxs[0])
         print(f"[proc {pid}/{n}] encoded GOPs {idxs[0]}..{idxs[-1]} -> {ck}")
-    from jax.experimental import multihost_utils
-    multihost_utils.sync_global_devices("vcs_encode_done")
+    process_barrier("vcs_encode_done")
     if pid == 0:
         # every GOP is checkpointed now; this pass only loads + assembles
         video = enc.encode_frames(all_frames, fps=reader.fps,

@@ -38,6 +38,34 @@ def init_distributed(coordinator_address: Optional[str] = None,
     return 0, 1
 
 
+def process_barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """All-process barrier over the coordination service (control plane).
+
+    The encode flow only needs a barrier for FILESYSTEM visibility (every
+    rank's checkpoints durably written before rank 0 assembles), so the
+    right primitive is the coordinator's wait_at_barrier — plain RPCs to
+    the coordinator — not a device collective. The previous
+    multihost_utils.sync_global_devices barrier ran a Gloo CPU allgather,
+    whose TCP rendezvous proved timing-sensitive on single-host CPU runs
+    (ranks intermittently disagree on the Gloo context index and deadlock
+    at "GetKeyValue timed out" / "Connect timeout"); it remains as the
+    fallback when the coordination-service client API is unavailable.
+    No-op when jax.distributed was never initialized (single process)."""
+    import jax
+    if jax.process_count() <= 1:
+        return
+    try:
+        from jax._src import distributed as _dist
+        client = getattr(_dist.global_state, "client", None)
+    except Exception:
+        client = None
+    if client is not None:
+        client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+        return
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(name)
+
+
 def assign_gops(num_gops: int, num_processes: int,
                 process_id: int) -> List[int]:
     """Contiguous block assignment of GOP indices to a host.
