@@ -17,13 +17,17 @@ if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
 
-# Persistent (on-disk) XLA compilation cache, shared by every test process
-# including the jax.distributed subprocesses of test_distributed_2proc.py
-# (they inherit the env var). The per-module clear_caches() below bounds the
-# LIVE executable set; this cache makes the resulting recompiles of
-# identical programs across modules cheap disk hits instead of fresh XLA
-# runs — together they cut suite wall time roughly in half. The dir is
-# repo-local and gitignored; a cold run warms it for the next.
+# Persistent (on-disk) XLA compilation cache shared by the suite's test
+# processes. The per-module clear_caches() below bounds the LIVE executable
+# set (the root trigger of the late-suite aborts); this cache makes the
+# resulting recompiles of identical programs across modules and xdist
+# workers cheap disk hits instead of fresh XLA runs. Measured: 32 min
+# (round-4 serial, no cache) -> ~20-26 min cold / **~4-6 min warm** with
+# two xdist workers. The dir is repo-local and gitignored; a cold run
+# warms it for the next. NOT inherited by the jax.distributed subprocess
+# tests — XLA bakes collective instance keys into cached CPU executables,
+# which desynchronizes Gloo rendezvous across independently-compiled
+# ranks (see test_distributed_2proc.py).
 _CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), ".jax_test_cache")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
